@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Throughput benchmark: pretrain samples/sec/chip (Transformer+ShapeNet
+schema) — the BASELINE.json driver metric.
+
+Runs the full jitted train step (backbone fwd + VAE + fusion + 4-view
+rasterization + backward + AdamW) on real shapes (1024 points, 128x128
+renders, batch 32 object-level) on whatever accelerator is attached, and
+prints ONE JSON line. Also measures splat fwd+bwd latency at 100k
+Gaussians as a secondary metric. Set BENCH_SMALL=1 (or run on CPU) for a
+tiny configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_train_step(small: bool):
+    from __graft_entry__ import _synthetic_batch, _tiny_cfg
+    from unipre3d_tpu.parallel import make_mesh, replicate, shard_batch
+    from unipre3d_tpu.training.trainer import (create_train_state,
+                                               make_train_step)
+    from unipre3d_tpu.training.config import load_config
+
+    if small:
+        cfg = _tiny_cfg(res=32, batch=2)
+        batch_size, n_points, n_views = 2, 256, 3
+    else:
+        cfg = load_config("transformer_pretraining",
+                          overrides=["data.dataset_root=synthetic"])
+        batch_size, n_points, n_views = int(cfg.opt.batch_size), 1024, 5
+
+    batch = _synthetic_batch(cfg, batch=batch_size, n_points=n_points,
+                             n_views=n_views)
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(0)
+    model, tx, state = create_train_state(
+        cfg, rng, batch,
+        dtype=jnp.bfloat16 if not small else jnp.float32)
+    state = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+
+    state, m = step(state, sharded)   # compile
+    jax.block_until_ready(m["loss"])
+    iters = 3 if small else 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, sharded)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    return batch_size * iters / dt / n_chips
+
+
+def bench_splat(small: bool):
+    from unipre3d_tpu.ops.rasterizer import rasterize
+
+    n = 4096 if small else 100_000
+    res = 64 if small else 128
+    rng = np.random.default_rng(0)
+    fov = math.radians(49.134)
+    from unipre3d_tpu.utils import camera as cam_util
+    cams = cam_util.build_camera_tensors(
+        np.eye(3), np.array([0, 0, 1.5]), fov, fov, 0.5, 2.0)
+
+    means = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32))
+    opa = jnp.asarray(rng.uniform(0.3, 1, n).astype(np.float32))
+    scales = jnp.full((n, 3), 0.01)
+    rots = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    shs = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32) * 0.3)
+    wv = jnp.asarray(cams["world_view_transform"])
+    fp = jnp.asarray(cams["full_proj_transform"])
+    cc = jnp.asarray(cams["camera_center"])
+
+    def fwd_loss(m, o, s, r, sh):
+        out = rasterize(m, o, s, r, sh, wv, fp, cc, img_h=res, img_w=res,
+                        tanfovx=math.tan(fov / 2), tanfovy=math.tan(fov / 2),
+                        bg_color=jnp.zeros(3), sh_degree=1, capacity=1024)
+        return jnp.sum(out["render"])
+
+    fwdbwd = jax.jit(jax.grad(fwd_loss, argnums=(0, 1, 2, 3, 4)))
+    g = fwdbwd(means, opa, scales, rots, shs)
+    jax.block_until_ready(g)
+    iters = 3 if small else 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = fwdbwd(means, opa, scales, rots, shs)
+    jax.block_until_ready(g)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def main():
+    platform = jax.devices()[0].platform
+    small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
+    sps = bench_train_step(small)
+    splat_ms = bench_splat(small)
+    result = {
+        "metric": "pretrain_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": None,
+        "extra": {
+            "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
+            "platform": platform,
+            "small_mode": small,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

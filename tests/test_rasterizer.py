@@ -1,0 +1,266 @@
+"""Tests for the differentiable Gaussian splatter.
+
+Strategy (SURVEY.md §4 pattern): analytic closed-form checks on single
+Gaussians, tiled-vs-brute-force equivalence, gradient flow, and parity of
+the CUDA-matching masking semantics.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unipre3d_tpu.ops.rasterizer import (preprocess_gaussians, rasterize,
+                                         rasterize_reference)
+from unipre3d_tpu.ops.rasterizer.render import auto_tile
+from unipre3d_tpu.utils import camera as cam
+from unipre3d_tpu.utils.sh import rgb2sh
+
+FOV = math.radians(49.13434264120263)
+RES = 64
+
+
+def make_camera(dist=1.5, znear=0.5, zfar=2.0):
+    R = np.eye(3)
+    t = np.array([0.0, 0.0, dist])
+    c = cam.build_camera_tensors(R, t, FOV, FOV, znear, zfar)
+    return (jnp.asarray(c["world_view_transform"]),
+            jnp.asarray(c["full_proj_transform"]),
+            jnp.asarray(c["camera_center"]))
+
+
+def make_gaussians(n, rng, spread=0.3, scale=0.02, color=None):
+    means = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    opa = rng.uniform(0.5, 1.0, size=(n,)).astype(np.float32)
+    scales = np.full((n, 3), scale, dtype=np.float32)
+    rots = np.zeros((n, 4), dtype=np.float32)
+    rots[:, 0] = 1.0
+    if color is None:
+        color = rng.uniform(size=(n, 3)).astype(np.float32)
+    shs = np.zeros((n, 4, 3), dtype=np.float32)
+    shs[:, 0] = np.asarray(rgb2sh(jnp.asarray(color)))
+    return tuple(map(jnp.asarray, (means, opa, scales, rots, shs)))
+
+
+def render_kwargs(**over):
+    kw = dict(img_h=RES, img_w=RES, tanfovx=math.tan(FOV / 2),
+              tanfovy=math.tan(FOV / 2), bg_color=jnp.zeros(3), sh_degree=1)
+    kw.update(over)
+    return kw
+
+
+class TestPreprocess:
+    def test_center_gaussian_projects_to_image_center(self):
+        wv, fp, cc = make_camera()
+        means = jnp.zeros((1, 3))
+        pg = preprocess_gaussians(
+            means, jnp.ones(1), jnp.full((1, 3), 0.05),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.zeros((1, 4, 3)),
+            wv, fp, cc, RES, RES, math.tan(FOV / 2), math.tan(FOV / 2), 1)
+        # pixel center convention: ndc 0 -> (S-1)/2
+        np.testing.assert_allclose(np.asarray(pg.mean2d[0]),
+                                   [(RES - 1) / 2] * 2, atol=1e-3)
+        assert bool(pg.valid[0])
+        assert float(pg.depth[0]) == pytest.approx(1.5, rel=1e-5)
+
+    def test_behind_camera_culled(self):
+        wv, fp, cc = make_camera()
+        # camera center is (0,0,-1.5) looking toward +z; world z=-10 is behind
+        means = jnp.asarray([[0.0, 0.0, -10.0]])
+        pg = preprocess_gaussians(
+            means, jnp.ones(1), jnp.full((1, 3), 0.05),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.zeros((1, 4, 3)),
+            wv, fp, cc, RES, RES, math.tan(FOV / 2), math.tan(FOV / 2), 1)
+        assert not bool(pg.valid[0])
+        assert int(pg.radius[0]) == 0
+        assert float(pg.opacity[0]) == 0.0
+
+    def test_isotropic_conic(self):
+        """Isotropic gaussian on the optical axis: cov2d = (f*s/z)^2 I + 0.3."""
+        wv, fp, cc = make_camera()
+        s = 0.05
+        pg = preprocess_gaussians(
+            jnp.zeros((1, 3)), jnp.ones(1), jnp.full((1, 3), s),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.zeros((1, 4, 3)),
+            wv, fp, cc, RES, RES, math.tan(FOV / 2), math.tan(FOV / 2), 1,
+            antialiasing=False)
+        focal = RES / (2 * math.tan(FOV / 2))
+        var = (focal * s / 1.5) ** 2 + 0.3
+        np.testing.assert_allclose(float(pg.conic[0, 0]), 1.0 / var, rtol=1e-4)
+        np.testing.assert_allclose(float(pg.conic[0, 2]), 1.0 / var, rtol=1e-4)
+        np.testing.assert_allclose(float(pg.conic[0, 1]), 0.0, atol=1e-6)
+
+    def test_radius_three_sigma(self):
+        wv, fp, cc = make_camera()
+        s = 0.05
+        pg = preprocess_gaussians(
+            jnp.zeros((1, 3)), jnp.ones(1), jnp.full((1, 3), s),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.zeros((1, 4, 3)),
+            wv, fp, cc, RES, RES, math.tan(FOV / 2), math.tan(FOV / 2), 1)
+        focal = RES / (2 * math.tan(FOV / 2))
+        var = (focal * s / 1.5) ** 2 + 0.3
+        assert int(pg.radius[0]) == math.ceil(3 * math.sqrt(var))
+
+    def test_mask_invalidates(self):
+        wv, fp, cc = make_camera()
+        means = jnp.zeros((2, 3))
+        mask = jnp.asarray([True, False])
+        pg = preprocess_gaussians(
+            means, jnp.ones(2), jnp.full((2, 3), 0.05),
+            jnp.asarray([[1.0, 0, 0, 0]] * 2), jnp.zeros((2, 4, 3)),
+            wv, fp, cc, RES, RES, math.tan(FOV / 2), math.tan(FOV / 2), 1,
+            gaussian_mask=mask)
+        assert bool(pg.valid[0]) and not bool(pg.valid[1])
+
+
+class TestRender:
+    def test_empty_scene_is_background(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(0)
+        g = make_gaussians(4, rng)
+        out = rasterize(*g, wv, fp, cc,
+                        **render_kwargs(bg_color=jnp.asarray([0.2, 0.4, 0.6]),
+                                        gaussian_mask=jnp.zeros(4, bool)))
+        img = np.asarray(out["render"])
+        np.testing.assert_allclose(img[0], 0.2, atol=1e-6)
+        np.testing.assert_allclose(img[1], 0.4, atol=1e-6)
+        np.testing.assert_allclose(img[2], 0.6, atol=1e-6)
+
+    def test_single_gaussian_center_color(self):
+        """Opaque gaussian at center: pixel color ~= alpha-capped gaussian
+        falloff of its SH color."""
+        wv, fp, cc = make_camera()
+        color = np.array([[0.8, 0.3, 0.1]], dtype=np.float32)
+        means = jnp.zeros((1, 3))
+        shs = np.zeros((1, 4, 3), dtype=np.float32)
+        shs[:, 0] = np.asarray(rgb2sh(jnp.asarray(color)))
+        out = rasterize(means, jnp.ones(1), jnp.full((1, 3), 0.05),
+                        jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray(shs),
+                        wv, fp, cc, **render_kwargs())
+        img = np.asarray(out["render"])
+        cx = (RES - 1) // 2
+        # at the center the offset to mean is 0.5px -> alpha ~ opacity*aa
+        center_rgb = img[:, cx, cx]
+        assert center_rgb[0] > 0.6 * color[0, 0]
+        # ratio of channels matches the SH color
+        np.testing.assert_allclose(center_rgb / center_rgb[0],
+                                   color[0] / color[0, 0], rtol=2e-2)
+
+    def test_tiled_matches_reference(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(1)
+        g = make_gaussians(300, rng)
+        kw = render_kwargs()
+        ref = rasterize_reference(*g, wv, fp, cc, **kw)
+        tiled = rasterize(*g, wv, fp, cc, **kw, capacity=512)
+        np.testing.assert_allclose(np.asarray(tiled["render"]),
+                                   np.asarray(ref["render"]), atol=1e-5)
+
+    def test_tiled_matches_reference_rect_tiles(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(2)
+        g = make_gaussians(200, rng)
+        kw = render_kwargs(img_h=32, img_w=64)
+        ref = rasterize_reference(*g, wv, fp, cc, **kw)
+        tiled = rasterize(*g, wv, fp, cc, **kw, tile_h=8, tile_w=32,
+                          capacity=256)
+        np.testing.assert_allclose(np.asarray(tiled["render"]),
+                                   np.asarray(ref["render"]), atol=1e-5)
+
+    def test_depth_ordering_occlusion(self):
+        """Near-opaque red in front of blue at the same ray: center is red."""
+        wv, fp, cc = make_camera()
+        means = jnp.asarray([[0.0, 0.0, 0.3], [0.0, 0.0, -0.3]])
+        # camera looks from +z toward origin? verify via depth: nearer to
+        # camera -> smaller view z.
+        shs = np.zeros((2, 4, 3), dtype=np.float32)
+        shs[0, 0] = np.asarray(rgb2sh(jnp.asarray([1.0, 0.0, 0.0])))
+        shs[1, 0] = np.asarray(rgb2sh(jnp.asarray([0.0, 0.0, 1.0])))
+        rots = jnp.asarray([[1.0, 0, 0, 0]] * 2)
+        out = rasterize(means, jnp.asarray([1.0, 1.0]),
+                        jnp.full((2, 3), 0.05), rots, jnp.asarray(shs),
+                        wv, fp, cc, **render_kwargs())
+        img = np.asarray(out["render"])
+        cx = (RES - 1) // 2
+        pg = preprocess_gaussians(
+            means, jnp.ones(2), jnp.full((2, 3), 0.05), rots,
+            jnp.asarray(shs), wv, fp, cc, RES, RES,
+            math.tan(FOV / 2), math.tan(FOV / 2), 1)
+        depths = np.asarray(pg.depth)
+        near = int(np.argmin(depths))
+        # the nearer gaussian's color dominates
+        if near == 0:
+            assert img[0, cx, cx] > img[2, cx, cx]
+        else:
+            assert img[2, cx, cx] > img[0, cx, cx]
+
+    def test_white_background_blend(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(3)
+        g = make_gaussians(10, rng, spread=0.1, scale=0.01)
+        out = rasterize(*g, wv, fp, cc,
+                        **render_kwargs(bg_color=jnp.ones(3)))
+        img = np.asarray(out["render"])
+        # corners see background
+        np.testing.assert_allclose(img[:, 0, 0], 1.0, atol=1e-3)
+
+    def test_capacity_overflow_drops_far_only(self):
+        """With tiny capacity, the image still contains the nearest
+        gaussians' contribution (front-most kept)."""
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(4)
+        g = make_gaussians(64, rng, spread=0.05, scale=0.03)
+        kw = render_kwargs()
+        full = np.asarray(rasterize(*g, wv, fp, cc, **kw,
+                                    capacity=64)["render"])
+        tiny = np.asarray(rasterize(*g, wv, fp, cc, **kw,
+                                    capacity=8)["render"])
+        # nearly-saturated center should be close; only deep tail differs
+        cx = (RES - 1) // 2
+        assert abs(full[:, cx, cx] - tiny[:, cx, cx]).max() < 0.15
+
+
+class TestGradients:
+    def test_gradients_flow_and_finite(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(5)
+        means, opa, scales, rots, shs = make_gaussians(32, rng)
+
+        def loss(m, o, s, r, sh_):
+            out = rasterize(m, o, s, r, sh_, wv, fp, cc, **render_kwargs())
+            return jnp.sum(out["render"] ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            means, opa, scales, rots, shs)
+        for g, name in zip(grads, ["means", "opa", "scales", "rots", "shs"]):
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all(), name
+            assert np.abs(arr).sum() > 0, name
+
+    def test_gradient_matches_finite_difference(self):
+        wv, fp, cc = make_camera()
+        rng = np.random.default_rng(6)
+        means, opa, scales, rots, shs = make_gaussians(4, rng, scale=0.05)
+
+        def loss(o):
+            out = rasterize(means, o, scales, rots, shs, wv, fp, cc,
+                            **render_kwargs(img_h=32, img_w=32))
+            return jnp.sum(out["render"])
+
+        g = np.asarray(jax.grad(loss)(opa))
+        eps = 1e-3
+        for i in range(4):
+            op = np.asarray(opa).copy()
+            op[i] += eps
+            lp = float(loss(jnp.asarray(op)))
+            op[i] -= 2 * eps
+            lm = float(loss(jnp.asarray(op)))
+            fd = (lp - lm) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=1e-2)
+
+
+def test_auto_tile():
+    assert auto_tile(128, 128) == (32, 32)
+    assert auto_tile(120, 160) == (8, 32)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""UniPre3D-TPU pretraining entry point.
+
+Public-surface parity with reference train_network.py:559-589:
+
+    python train_network.py --config-name transformer_pretraining \
+        [key.subkey=value ...]
+
+composes the same-named YAML config tree, then runs the iteration-based
+pretraining loop (forward -> render supervision views -> photometric
+loss -> AdamW/EMA) on the local TPU/CPU devices with batch-axis data
+parallelism. ``data.dataset_root=synthetic`` runs on the procedural
+dataset (no data mount needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unipre3d_tpu.data import get_dataset, Loader
+from unipre3d_tpu.parallel import make_mesh, shard_batch
+from unipre3d_tpu.training import checkpoint as ckpt_lib
+from unipre3d_tpu.training.config import load_config, save_config
+from unipre3d_tpu.training.logger import Logger
+from unipre3d_tpu.training.trainer import (create_train_state,
+                                           make_eval_step, make_train_step)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-name", default="default_config")
+    p.add_argument("--config-dir", default=None)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.config_name, config_dir=args.config_dir,
+                      overrides=args.overrides)
+    out_dir = args.output_dir or os.path.join(
+        "experiments_out", time.strftime("%Y-%m-%d/%H-%M-%S"))
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, ".hydra", "config.yaml"))
+
+    seed = int(cfg.general.random_seed)
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    compute_dtype = jnp.bfloat16 if cfg.get("tpu", {}).get(
+        "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    batch_size = int(cfg.opt.batch_size)
+    if batch_size % n_dev != 0:
+        batch_size = max(n_dev, batch_size - batch_size % n_dev)
+        print(f"[train] batch_size adjusted to {batch_size} "
+              f"for {n_dev} devices")
+
+    train_ds = get_dataset(cfg, "train")
+    val_ds = get_dataset(cfg, "val")
+    train_loader = Loader(train_ds, batch_size, shuffle=True, seed=seed,
+                          shard_id=jax.process_index(),
+                          num_shards=jax.process_count())
+    val_loader = Loader(val_ds, min(batch_size, max(1, len(val_ds))),
+                        shuffle=False)
+
+    sample = next(iter(train_loader.epoch(0)))
+    model, tx, state = create_train_state(cfg, rng, sample,
+                                          dtype=compute_dtype)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"[train] devices={n_dev} params={n_params/1e6:.2f}M "
+          f"backbone={cfg.model.backbone_type}")
+
+    # resume
+    latest = os.path.join(out_dir, "model_latest.ckpt")
+    best_psnr = 0.0
+    if os.path.exists(latest):
+        state, best_psnr = ckpt_lib.load_checkpoint(latest, state)
+        print(f"[train] resumed from step {int(state.step)}")
+
+    train_step = make_train_step(cfg, model, tx)
+    eval_step = make_eval_step(cfg, model)
+    donate = bool(cfg.get("tpu", {}).get("donate_state", True))
+    train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    eval_step = jax.jit(eval_step)
+
+    logger = Logger(cfg, out_dir)
+    iterations = int(cfg.opt.iterations)
+    loss_log = int(cfg.logging.loss_log)
+    val_log = int(cfg.logging.val_log)
+
+    it = int(state.step)
+    t_last = time.time()
+    imgs_since = 0
+    data_iter = iter(train_loader)
+    for it in range(int(state.step) + 1, iterations + 1):
+        batch = shard_batch(next(data_iter), mesh)
+        state, metrics = train_step(state, batch)
+        imgs_since += batch_size
+        if it % loss_log == 0:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - t_last
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["samples_per_sec"] = imgs_since / dt
+            logger.log(it, metrics)
+            t_last = time.time()
+            imgs_since = 0
+        if it % val_log == 0 or it == iterations:
+            psnrs = []
+            for vb in val_loader.epoch(0):
+                res = eval_step(state, shard_batch(vb, mesh))
+                psnrs.append(float(res["psnr_novel"]))
+            psnr_novel = float(np.mean(psnrs)) if psnrs else 0.0
+            logger.log(it, {"psnr_novel": psnr_novel}, prefix="val")
+            if jax.process_index() == 0:
+                ckpt_lib.save_checkpoint(latest, state, best_psnr)
+                if psnr_novel > best_psnr:
+                    best_psnr = psnr_novel
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(out_dir, "model_best.ckpt"), state,
+                        best_psnr)
+    logger.close()
+    print(f"[train] done at iteration {it}; best PSNR_novel={best_psnr:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Top-level Gaussian-splat predictor (backbone -> per-point Gaussians).
+
+Flax rewrite of reference model/gaussian_predictor.py:16-447 and
+model/point_predictor.py:18-220: a 3D backbone (+ optional frozen-VAE
+feature fusion) emits 23 channels per point token which are split into
+``[3, 1, 3, 4, 3, 9]`` = xyz-offset / opacity / scale / rotation / SH-DC /
+SH-rest and activated into a renderable Gaussian dict:
+
+* position: ``tanh(x) * offset_scale + center``
+* scale: ``exp(clamp(x, -1, 20))``; opacity: ``sigmoid``;
+  rotation: L2-normalized quaternion (reference :249-254, 297-306)
+
+Object level returns dense ``[B, N, ...]`` dicts; scene level (added with
+the sparse backbones) returns padded per-scene tensors with a validity
+mask instead of the reference's variable-length lists.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unipre3d_tpu.models.transformer import PointTransformerEncoder
+from unipre3d_tpu.models.vae import AutoencoderKL
+from unipre3d_tpu.utils.camera import intrinsics_from_fov
+
+# feature_dim/fusion_dim per backbone (reference gaussian_predictor.py:19-50)
+MODEL_CONFIGS = {
+    "pointmlp": {"feature_dim": 128, "fusion_dim": 128, "final_dim": 128},
+    "transformer": {"feature_dim": 384, "fusion_dim": 384, "final_dim": 384},
+    "pcm": {"feature_dim": 384, "fusion_dim": 384, "final_dim": 384},
+    "mamba3d": {"feature_dim": 384, "fusion_dim": 384, "final_dim": 384},
+    "sparseunet": {"feature_dim": 128, "fusion_dim": 32, "final_dim": 32},
+    "ptv3": {"feature_dim": 32, "fusion_dim": 32, "final_dim": 32},
+}
+
+VAE_FIRST_BLOCK_CHANNELS = 128  # block_out_channels[0] of the SD-VAE
+
+
+def split_dimensions(max_sh_degree: int):
+    dims = [3, 1, 3, 4, 3]
+    if max_sh_degree != 0:
+        dims.append(((max_sh_degree + 1) ** 2 - 1) * 3)
+    return dims
+
+
+class FinalHead(nn.Module):
+    """Per-token Gaussian parameter head (reference
+    point_predictor.py:78-85)."""
+    hidden: int
+    out: int = 23
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class PointFeaturePredictor(nn.Module):
+    """Backbone + final head (reference model/point_predictor.py:18)."""
+    backbone_type: str
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        bt = self.backbone_type
+        if bt == "transformer":
+            self.encoder = PointTransformerEncoder(
+                in_channels=self.in_channels, num_groups=128,
+                encoder_dims=384, depth=16, dtype=self.dtype)
+            self.final = FinalHead(128, dtype=self.dtype)
+        elif bt == "pointmlp":
+            from unipre3d_tpu.models.pointmlp import PointMLPEncoder
+            self.encoder = PointMLPEncoder(in_channels=self.in_channels,
+                                           dtype=self.dtype)
+            self.final = FinalHead(64, dtype=self.dtype)
+        elif bt == "mamba3d":
+            from unipre3d_tpu.models.mamba3d import Mamba3DEncoder
+            self.encoder = Mamba3DEncoder(dtype=self.dtype)
+            self.final = FinalHead(128, dtype=self.dtype)
+        elif bt == "pcm":
+            from unipre3d_tpu.models.pcm import PointMambaSeg
+            self.encoder = PointMambaSeg(in_channels=self.in_channels,
+                                         dtype=self.dtype)
+            self.final = FinalHead(128, dtype=self.dtype)
+        elif bt == "sparseunet":
+            from unipre3d_tpu.models.sparseunet import SpUNet
+            self.encoder = SpUNet(in_channels=6, num_classes=64,
+                                  dtype=self.dtype)
+            self.final = FinalHead(32, dtype=self.dtype)
+        elif bt == "ptv3":
+            from unipre3d_tpu.models.ptv3 import PointTransformerV3
+            self.encoder = PointTransformerV3(in_channels=6, dtype=self.dtype)
+            self.final = FinalHead(32, dtype=self.dtype)
+        else:
+            raise ValueError(f"unsupported backbone: {bt}")
+
+    def __call__(self, x, image_features=None, c2w=None, fusion_mlp=None,
+                 intrinsic=None, train: bool = False):
+        """Object-level forward (+ optional fusion): returns
+        (per-token 23ch output [B, G, 23], centers [B, G, 3])."""
+        feats, center = self.encoder(
+            x, image_features=image_features, c2w=c2w, fusion_mlp=fusion_mlp,
+            intrinsic=intrinsic, train=train)
+        return self.final(feats), center
+
+    def forward_scene(self, data, image_features=None,
+                      unprojected=None, fusion_mlp=None, train: bool = False):
+        """Scene-level forward for the sparse backbones: returns
+        (per-point 23ch output [B, M, 23], coords [B, M, 3], mask [B, M])."""
+        feats, coords, mask = self.encoder.forward_point_fusion(
+            data, image_features, unprojected, fusion_mlp, train=train)
+        return self.final(feats), coords, mask
+
+
+class GaussianSplatPredictor(nn.Module):
+    """Unified predictor (reference model/gaussian_predictor.py:16)."""
+    backbone_type: str = "transformer"
+    in_channels: int = 3
+    max_sh_degree: int = 1
+    isotropic: bool = False
+    offset_scale: float = 1.0
+    use_fusion: bool = True
+    level: str = "object"
+    fov: float = 49.13434264120263
+    training_resolution: int = 128
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.split_dims = split_dimensions(self.max_sh_degree)
+        mc = MODEL_CONFIGS[self.backbone_type]
+        self.point_network = PointFeaturePredictor(
+            self.backbone_type, self.in_channels, dtype=self.dtype)
+        if self.use_fusion:
+            self.image_network = AutoencoderKL(dtype=self.dtype)
+            out_dim = (mc["feature_dim"] if self.level == "object"
+                       else mc["fusion_dim"])
+            self.image_conv = nn.Sequential([
+                nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype),
+                nn.Conv(out_dim, (1, 1), dtype=self.dtype),
+            ])
+            if self.level == "object":
+                self.fusion_mlps = nn.Sequential([
+                    nn.Dense(mc["fusion_dim"], dtype=self.dtype),
+                    nn.relu,
+                ])
+            else:
+                from unipre3d_tpu.models.sparseunet import SubMConvBlock
+                self.fusion_mlps = SubMConvBlock(mc["fusion_dim"],
+                                                 dtype=self.dtype)
+        if self.level == "object":
+            self.intrinsic = jnp.asarray(
+                intrinsics_from_fov(self.fov, self.training_resolution))
+
+    def _image_features(self, image):
+        """Frozen VAE features -> image_conv. image [B*V, 3, H, W]."""
+        vae_out = self.image_network(image)
+        feat = jax.lax.stop_gradient(vae_out["decoder_block_3"])
+        # image_conv is NHWC
+        feat = jnp.transpose(feat, (0, 2, 3, 1))
+        feat = self.image_conv(feat)
+        return jnp.transpose(feat, (0, 3, 1, 2))  # [B*V, C, H, W]
+
+    def __call__(self, point_cloud, image=None,
+                 source_cameras_view_to_world=None, unprojected_coords=None,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        if self.level == "scene":
+            return self._forward_scene(point_cloud, image,
+                                       unprojected_coords, train)
+        return self._forward_object(point_cloud, image,
+                                    source_cameras_view_to_world, train)
+
+    def _forward_object(self, point_cloud, image, c2w, train):
+        if self.use_fusion:
+            B, V = image.shape[:2]
+            assert V == 1, "object-level fusion uses 1 conditioning view"
+            img = image.reshape(B * V, *image.shape[2:])
+            image_features = self._image_features(img)
+            out, center = self.point_network(
+                point_cloud, image_features=image_features, c2w=c2w,
+                fusion_mlp=self.fusion_mlps, intrinsic=self.intrinsic,
+                train=train)
+        else:
+            V = 1
+            out, center = self.point_network(point_cloud, train=train)
+        return self._activate(out, center)
+
+    def _forward_scene(self, point_cloud, image, unprojected_coords, train):
+        B, V = image.shape[:2]
+        img = image.reshape(B * V, *image.shape[2:])
+        image_features = self._image_features(img) if self.use_fusion else None
+        out, coords, mask = self.point_network.forward_scene(
+            point_cloud, image_features, unprojected_coords,
+            self.fusion_mlps if self.use_fusion else None, train=train)
+        d = self._activate(out, coords)
+        d["mask"] = mask
+        return d
+
+    def _activate(self, out, center) -> Dict[str, jnp.ndarray]:
+        """23ch -> activated Gaussian dict (reference :279-328). out
+        [B, N, 23], center [B, N, 3] -> dict of [B, N, ...] f32."""
+        out = out.astype(jnp.float32)
+        splits = np.cumsum(self.split_dims)[:-1]
+        xyz_raw, opacity, scaling, rotation, f_dc, *rest = jnp.split(
+            out, splits, axis=-1)
+        pos = jnp.tanh(xyz_raw) * self.offset_scale + \
+            center.astype(jnp.float32)[..., :3]
+        if self.isotropic:
+            scaling = jnp.broadcast_to(scaling[..., :1], scaling.shape)
+        d = {
+            "xyz": pos,
+            "opacity": jax.nn.sigmoid(opacity),
+            "scaling": jnp.exp(jnp.clip(scaling, -1, 20)),
+            "rotation": rotation / jnp.maximum(
+                jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-6),
+            "features_dc": f_dc.reshape(*f_dc.shape[:-1], 1, 3),
+        }
+        if self.max_sh_degree > 0:
+            fr = rest[0]
+            d["features_rest"] = fr.reshape(*fr.shape[:-1], -1, 3)
+        else:
+            d["features_rest"] = jnp.zeros(
+                (*f_dc.shape[:-1], (self.max_sh_degree + 1) ** 2 - 1, 3),
+                dtype=jnp.float32)
+        return d
+
+
+def build_predictor(cfg, dtype=jnp.float32) -> GaussianSplatPredictor:
+    """Construct from a composed config (factory, reference
+    networkCallBack at gaussian_predictor.py:440)."""
+    res = (int(cfg.data.training_resolution)
+           if "training_resolution" in cfg.data else
+           int(cfg.data.training_height))
+    return GaussianSplatPredictor(
+        backbone_type=cfg.model.backbone_type,
+        in_channels=int(cfg.model.in_channels),
+        max_sh_degree=int(cfg.model.max_sh_degree),
+        isotropic=bool(cfg.model.isotropic),
+        offset_scale=float(cfg.model.offset_scale),
+        use_fusion=bool(cfg.opt.use_fusion),
+        level=cfg.opt.level,
+        fov=float(cfg.data.fov),
+        training_resolution=res,
+        dtype=dtype,
+    )

@@ -1,0 +1,158 @@
+"""Per-Gaussian screen-space preprocessing for the differentiable splatter.
+
+Vectorized (one fused pass over all N Gaussians — MXU/VPU friendly)
+equivalent of the preprocess stage of the reference's external CUDA
+rasterizer (`diff_gaussian_rasterization`, see SURVEY.md §2.5): 3D
+covariance from quaternion+scale, world->view transform, EWA projection of
+the covariance to 2D, anti-aliasing opacity compensation (the
+``antialiasing=True`` mode the reference enables at
+gaussian_renderer/__init__.py:58), conic/radius computation, NDC->pixel
+mapping and clamped SH->RGB evaluation.
+
+Conventions: camera matrices are *transposed* (row-vector) like the
+reference pipeline; near-plane cull at view z < 0.2; all outputs are
+flat arrays over N with a validity mask instead of dynamic culling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from unipre3d_tpu.utils.camera import ndc2pix, quat_to_rotmat
+from unipre3d_tpu.utils.sh import sh_to_rgb_clamped
+
+NEAR_CULL_Z = 0.2
+AA_BLUR = 0.3  # low-pass filter variance added to the 2D covariance (px^2)
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space Gaussians, all [N, ...]."""
+    mean2d: jnp.ndarray      # [N, 2] pixel coords (x, y)
+    conic: jnp.ndarray       # [N, 3] inverse 2D covariance (a, b, c)
+    color: jnp.ndarray       # [N, 3] RGB from SH (clamped >= 0)
+    opacity: jnp.ndarray     # [N] after AA compensation
+    depth: jnp.ndarray       # [N] view-space z
+    radius: jnp.ndarray      # [N] int32 pixel radius (0 = culled)
+    valid: jnp.ndarray       # [N] bool
+
+
+def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
+                  scale_modifier: float = 1.0) -> jnp.ndarray:
+    """3D covariance Sigma = R S^2 R^T. scales [N,3], rotations [N,4]
+    (normalized wxyz quaternions) -> [N, 3, 3]."""
+    R = quat_to_rotmat(rotations)
+    S2 = (scales * scale_modifier) ** 2
+    return jnp.einsum("nij,nj,nkj->nik", R, S2, R,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def preprocess_gaussians(
+    means3d: jnp.ndarray,        # [N, 3] world positions
+    opacities: jnp.ndarray,      # [N] or [N, 1]
+    scales: jnp.ndarray,         # [N, 3]
+    rotations: jnp.ndarray,      # [N, 4] normalized (w, x, y, z)
+    shs: jnp.ndarray,            # [N, K, 3] SH coeffs (dc first)
+    world_view: jnp.ndarray,     # [4, 4] transposed world->view
+    full_proj: jnp.ndarray,      # [4, 4] transposed full projection
+    cam_center: jnp.ndarray,     # [3]
+    img_h: int, img_w: int,
+    tanfovx: float, tanfovy: float,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+    antialiasing: bool = True,
+    gaussian_mask: jnp.ndarray | None = None,  # [N] bool padding mask
+) -> ProjectedGaussians:
+    N = means3d.shape[0]
+    f32 = jnp.float32
+    means3d = means3d.astype(f32)
+    opacities = opacities.reshape(N).astype(f32)
+
+    # --- world -> view / clip (row-vector convention) ---
+    ones = jnp.ones((N, 1), dtype=f32)
+    p_hom = jnp.concatenate([means3d, ones], axis=1)
+    hp = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(p_hom, world_view.astype(f32), precision=hp)  # [N, 4]
+    p_clip = jnp.matmul(p_hom, full_proj.astype(f32), precision=hp)   # [N, 4]
+    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
+    p_ndc = p_clip[:, :3] * p_w[:, None]
+
+    depth = p_view[:, 2]
+    in_front = depth > NEAR_CULL_Z
+
+    mean2d = jnp.stack([ndc2pix(p_ndc[:, 0], img_w),
+                        ndc2pix(p_ndc[:, 1], img_h)], axis=1)
+
+    # --- EWA: project 3D covariance to screen space ---
+    cov3d = compute_cov3d(scales.astype(f32), rotations.astype(f32),
+                          scale_modifier)
+    focal_x = img_w / (2.0 * tanfovx)
+    focal_y = img_h / (2.0 * tanfovy)
+
+    tz = jnp.where(jnp.abs(depth) > 1e-6, depth, 1e-6)
+    limx, limy = 1.3 * tanfovx, 1.3 * tanfovy
+    txtz = jnp.clip(p_view[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    # J: 2x3 Jacobian of (x, y) pixel-plane projection at t (per gaussian)
+    zero = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([focal_x / tz, zero, -focal_x * tx / (tz * tz)], axis=-1),
+        jnp.stack([zero, focal_y / tz, -focal_y * ty / (tz * tz)], axis=-1),
+    ], axis=-2)  # [N, 2, 3]
+
+    # world->view rotation in math (column-vector) convention: the stored
+    # matrix is transposed, so rows of world_view[:3,:3] ARE R_wc columns;
+    # v_view = v_world @ WV[:3,:3]  =>  R_wc = WV[:3,:3]^T
+    R_wc = world_view[:3, :3].astype(f32).T
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R_wc, cov3d, R_wc, precision=hp)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J,
+                       precision=hp)  # [N, 2, 2]
+
+    c_xx = cov2d[:, 0, 0]
+    c_xy = cov2d[:, 0, 1]
+    c_yy = cov2d[:, 1, 1]
+    det_orig = c_xx * c_yy - c_xy * c_xy
+    # low-pass: every splat is at least ~1px wide (reference adds 0.3)
+    c_xx = c_xx + AA_BLUR
+    c_yy = c_yy + AA_BLUR
+    det_blur = c_xx * c_yy - c_xy * c_xy
+
+    if antialiasing:
+        # opacity compensation for the blur (reference h_convolution_scaling)
+        h_scale = jnp.sqrt(jnp.maximum(2.5e-5, det_orig / det_blur))
+        opacities = opacities * h_scale
+
+    det_ok = det_blur > 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det_blur, 1.0), 0.0)
+    conic = jnp.stack([c_yy * inv_det, -c_xy * inv_det, c_xx * inv_det],
+                      axis=1)
+
+    # screen-space extent: 3 sigma of the major eigenvalue
+    mid = 0.5 * (c_xx + c_yy)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_blur))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    valid = in_front & det_ok
+    if gaussian_mask is not None:
+        valid = valid & gaussian_mask
+    # quick tile-level reject: bbox fully outside the image
+    on_screen = ((mean2d[:, 0] + radius_f >= 0) & (mean2d[:, 0] - radius_f < img_w)
+                 & (mean2d[:, 1] + radius_f >= 0) & (mean2d[:, 1] - radius_f < img_h))
+    valid = valid & on_screen
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    # --- SH -> RGB ---
+    dirs = means3d - cam_center.astype(f32)[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-8)
+    color = sh_to_rgb_clamped(sh_degree, shs.astype(f32), dirs)
+
+    return ProjectedGaussians(
+        mean2d=mean2d, conic=conic, color=color,
+        opacity=jnp.where(valid, opacities, 0.0),
+        depth=depth, radius=radius, valid=valid)

@@ -1,0 +1,55 @@
+"""Training logger: console always, wandb when importable+configured
+(reference logger.py:11-273 with its offline fallback). Rank-0 gating is
+process-index 0 under multi-host jax."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+class Logger:
+    def __init__(self, cfg, out_dir: str):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.is_main = jax.process_index() == 0
+        self.wandb = None
+        self._t0 = time.time()
+        if self.is_main:
+            os.makedirs(out_dir, exist_ok=True)
+            self.jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+            entity = cfg.get("wandb", {}).get("entity")
+            if entity:
+                try:
+                    import wandb
+                    wandb.init(project=cfg.wandb.project, entity=entity,
+                               config=cfg.to_plain(), dir=out_dir)
+                    self.wandb = wandb
+                except Exception as e:  # offline fallback
+                    print(f"[logger] wandb unavailable ({e}); console only")
+
+    def log(self, step: int, metrics: Dict, prefix: str = "train"):
+        if not self.is_main:
+            return
+        flat = {f"{prefix}/{k}": (float(v) if hasattr(v, "__float__") else v)
+                for k, v in metrics.items()}
+        flat["step"] = int(step)
+        flat["wall_s"] = round(time.time() - self._t0, 1)
+        self.jsonl.write(json.dumps(flat) + "\n")
+        self.jsonl.flush()
+        msg = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in flat.items())
+        print(f"[{prefix}] {msg}", flush=True)
+        if self.wandb:
+            self.wandb.log(flat, step=int(step))
+
+    def close(self):
+        if self.is_main:
+            self.jsonl.close()
+            if self.wandb:
+                self.wandb.finish()

@@ -1,0 +1,257 @@
+"""Training orchestration: functional train step + iteration loop.
+
+TPU-native rewrite of reference train_network.py:305-556 (Trainer /
+ModelManager / ValidationManager):
+
+* one jitted, state-donating ``train_step`` that runs backbone forward,
+  renders ALL supervision views of the whole batch in a single vmapped
+  rasterizer call (vs. the reference's Python double loop at
+  train_network.py:417-443), computes the photometric loss, and applies
+  AdamW(eps=1e-15) + StepLR + grad-clip(1.0) + NaN-skip + EMA;
+* frozen VAE parameters get zero updates (reference freezes them by
+  giving AdamW lr only to point_network/fusion_mlps/image_conv,
+  train_network.py:166-178);
+* data parallelism = batch-axis sharding over the ``data`` mesh axis
+  (gradient pmean inserted by XLA, SyncBN for free).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unipre3d_tpu.models.gaussian_predictor import build_predictor
+from unipre3d_tpu.ops.rasterizer import rasterize
+from unipre3d_tpu.utils import losses as loss_lib
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    rng: jnp.ndarray
+
+
+def _is_frozen(path: Tuple) -> bool:
+    """VAE (image_network) params are frozen."""
+    return any(getattr(k, "key", None) == "image_network" for k in path)
+
+
+def make_optimizer(cfg):
+    """AdamW(eps=1e-15, betas cfg) + StepLR(step_lr, lr_gamma) +
+    clip(1.0), NaN-guarded; frozen subtree zeroed."""
+    base_lr = float(cfg.opt.base_lr)
+    schedule = optax.exponential_decay(
+        init_value=base_lr,
+        transition_steps=int(cfg.opt.step_lr),
+        decay_rate=float(cfg.opt.lr_gamma),
+        staircase=True)
+    betas = cfg.opt.get("betas", [0.9, 0.999])
+    inner = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, b1=float(betas[0]), b2=float(betas[1]),
+                    eps=1e-15, weight_decay=0.01),
+    )
+    guarded = optax.apply_if_finite(inner, max_consecutive_errors=10 ** 8)
+    tx = optax.multi_transform(
+        {"train": guarded, "frozen": optax.set_to_zero()},
+        param_labels=lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if _is_frozen(path) else "train", params))
+    return tx, schedule
+
+
+def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
+                             batch: Dict[str, jnp.ndarray],
+                             cfg, bg_color,
+                             start_view: Optional[int] = None) -> jnp.ndarray:
+    """Render views [start_view:] (default: the supervision views
+    [input_images:]) for every batch element in one vmapped call ->
+    images [B, V_sup, 3, H, W]."""
+    n_in = int(cfg.data.input_images) if start_view is None else start_view
+    res = int(cfg.data.training_resolution) if \
+        "training_resolution" in cfg.data else None
+    if res is not None:
+        img_h = img_w = res
+    else:
+        img_h, img_w = int(cfg.data.training_height), int(cfg.data.training_width)
+    tanfov = math.tan(float(cfg.data.fov) * math.pi / 360)
+    cap = int(cfg.tpu.get("raster_tile_capacity", 1024)) \
+        if "tpu" in cfg else 1024
+
+    from unipre3d_tpu.ops.rasterizer.render import auto_tile
+    tile_h, tile_w = auto_tile(img_h, img_w)
+
+    mask = gaussians.get("mask")
+
+    def render_one(g_xyz, g_opa, g_scale, g_rot, g_sh, g_mask, wv, fp, cc):
+        out = rasterize(
+            g_xyz, g_opa, g_scale, g_rot, g_sh, wv, fp, cc,
+            img_h=img_h, img_w=img_w, tanfovx=tanfov, tanfovy=tanfov,
+            bg_color=bg_color, sh_degree=int(cfg.model.max_sh_degree),
+            gaussian_mask=g_mask, tile_h=tile_h, tile_w=tile_w,
+            capacity=cap)
+        return out["render"]
+
+    render_one = jax.checkpoint(render_one)
+    shs = jnp.concatenate([gaussians["features_dc"],
+                           gaussians["features_rest"]], axis=2)
+    if mask is None:
+        mask_b = jnp.ones(gaussians["xyz"].shape[:2], dtype=bool)
+    else:
+        mask_b = mask
+
+    # vmap over supervision views (gaussians broadcast), then over batch
+    per_view = jax.vmap(render_one,
+                        in_axes=(None, None, None, None, None, None, 0, 0, 0))
+    per_batch = jax.vmap(per_view,
+                         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    return per_batch(
+        gaussians["xyz"], gaussians["opacity"][..., 0],
+        gaussians["scaling"], gaussians["rotation"], shs, mask_b,
+        batch["world_view_transforms"][:, n_in:],
+        batch["full_proj_transforms"][:, n_in:],
+        batch["camera_centers"][:, n_in:])
+
+
+def compute_loss(rendered: jnp.ndarray, gt: jnp.ndarray, cfg,
+                 bg_color) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Photometric loss (reference ValidationManager.calculate_losses,
+    train_network.py:260-302). rendered/gt: [B, V, 3, H, W]."""
+    B, V = rendered.shape[:2]
+    r = rendered.reshape(B * V, *rendered.shape[2:])
+    g = gt.reshape(B * V, *gt.shape[2:])
+    kind = cfg.opt.loss
+    if kind == "focal_l2":
+        main = loss_lib.focal_l2_loss(
+            r, g, bg_color, float(cfg.opt.non_bg_color_loss_rate),
+            float(cfg.opt.bg_color_loss_rate))
+    elif kind == "l1":
+        main = loss_lib.l1_loss(r, g)
+    else:
+        main = loss_lib.l2_loss(r, g)
+    psnr = loss_lib.psnr(r, g)
+    return main, {"loss": main, "psnr": psnr}
+
+
+def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
+    """Initialize model params/batch_stats/optimizer/EMA."""
+    model = build_predictor(cfg, dtype=dtype)
+    init_rng, state_rng = jax.random.split(rng)
+    n_in = int(cfg.data.input_images)
+    # jit the init: eager init compiles every primitive separately
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(
+        {"params": init_rng, "droppath": init_rng},
+        jnp.asarray(sample_batch["point_cloud"]),
+        jnp.asarray(sample_batch["gt_images"][:, :n_in]),
+        jnp.asarray(sample_batch["view_to_world_transforms"][:, :n_in]))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, schedule = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return model, tx, TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats, opt_state=opt_state,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params), rng=state_rng)
+
+
+def make_train_step(cfg, model, tx):
+    bg_color = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0])
+    n_in = int(cfg.data.input_images)
+    ema_cfg = cfg.opt.ema
+    ema_beta = float(ema_cfg.beta)
+    ema_every = int(ema_cfg.update_every)
+    ema_after = int(ema_cfg.update_after_step)
+    use_ema = bool(ema_cfg.use)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(
+            variables,
+            batch["point_cloud"],
+            batch["gt_images"][:, :n_in],
+            batch["view_to_world_transforms"][:, :n_in],
+            train=True,
+            rngs={"droppath": rng},
+            mutable=["batch_stats"] if batch_stats else [])
+        if batch_stats:
+            gaussians, new_vars = out
+            new_stats = new_vars["batch_stats"]
+        else:
+            gaussians, new_stats = out, batch_stats
+        rendered = render_supervision_views(gaussians, batch, cfg, bg_color)
+        gt = batch["gt_images"][:, n_in:]
+        loss, metrics = compute_loss(rendered, gt, cfg, bg_color)
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, step_rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        if use_ema:
+            def ema_update(e, p):
+                copy_phase = step <= ema_after
+                do_update = jnp.logical_and(step > ema_after,
+                                            step % ema_every == 0)
+                decayed = e * ema_beta + p * (1.0 - ema_beta)
+                return jnp.where(copy_phase, p,
+                                 jnp.where(do_update, decayed, e))
+            new_ema = jax.tree_util.tree_map(ema_update, state.ema_params,
+                                             new_params)
+        else:
+            new_ema = state.ema_params
+        new_state = TrainState(step=step, params=new_params,
+                               batch_stats=new_stats,
+                               opt_state=new_opt_state, ema_params=new_ema,
+                               rng=rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, model, use_ema: bool = True):
+    """Render every view of a batch with the (EMA) params and return
+    per-view PSNR/SSIM split cond vs novel (reference eval.py:35-178)."""
+    bg_color = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0])
+    n_in = int(cfg.data.input_images)
+
+    def eval_step(state: TrainState, batch):
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        gaussians = model.apply(
+            variables, batch["point_cloud"], batch["gt_images"][:, :n_in],
+            batch["view_to_world_transforms"][:, :n_in], train=False)
+        rendered = render_supervision_views(gaussians, batch, cfg, bg_color,
+                                            start_view=0)
+        gt = batch["gt_images"]
+        mse = jnp.mean((rendered - gt) ** 2, axis=(2, 3, 4))  # [B, V]
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return {
+            "psnr_cond": psnr[:, :n_in].mean(),
+            "psnr_novel": psnr[:, n_in:].mean(),
+            "rendered": rendered,
+        }
+
+    return eval_step
