@@ -227,6 +227,13 @@ class TestGradients:
         wv, fp, cc = make_camera()
         rng = np.random.default_rng(5)
         means, opa, scales, rots, shs = make_gaussians(32, rng)
+        # rotation gradients vanish identically for isotropic gaussians
+        # (R S^2 R^T == s^2 I for any R) — use anisotropic scales and
+        # non-identity quaternions so they are exercised.
+        scales = jnp.asarray(
+            rng.uniform(0.01, 0.06, size=(32, 3)).astype(np.float32))
+        q = rng.normal(size=(32, 4)).astype(np.float32)
+        rots = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
 
         def loss(m, o, s, r, sh_):
             out = rasterize(m, o, s, r, sh_, wv, fp, cc, **render_kwargs())
