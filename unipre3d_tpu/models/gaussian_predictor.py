@@ -89,7 +89,9 @@ class PointFeaturePredictor(nn.Module):
             from unipre3d_tpu.models.pcm import PointMambaSeg
             self.encoder = PointMambaSeg(in_channels=self.in_channels,
                                          dtype=self.dtype)
-            self.final = FinalHead(128, dtype=self.dtype)
+            # reference head for pcm: Linear(128->64)+ReLU+Linear(64->23)
+            # (model/point_predictor.py:85)
+            self.final = FinalHead(64, dtype=self.dtype)
         elif bt == "sparseunet":
             from unipre3d_tpu.models.sparseunet import SpUNet
             self.encoder = SpUNet(in_channels=6, num_classes=64,
