@@ -42,7 +42,10 @@ class Loader:
     def _stack(self, examples) -> Dict[str, np.ndarray]:
         out = {}
         for k in examples[0]:
-            out[k] = np.stack([e[k] for e in examples])
+            if isinstance(examples[0][k], dict):
+                out[k] = self._stack([e[k] for e in examples])
+            else:
+                out[k] = np.stack([e[k] for e in examples])
         return out
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -158,7 +158,8 @@ class GaussianSplatPredictor(nn.Module):
                 self.fusion_mlps = SubMConvBlock(mc["fusion_dim"],
                                                  dtype=self.dtype)
         if self.level == "object":
-            self.intrinsic = jnp.asarray(
+            # np: avoids a lifted jax-array constant in the jaxpr
+            self.intrinsic = np.asarray(
                 intrinsics_from_fov(self.fov, self.training_resolution))
 
     def _image_features(self, image):

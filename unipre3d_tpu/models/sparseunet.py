@@ -1,0 +1,318 @@
+"""SparseUNet (SpUNet-v1m1) scene backbone on the TPU sparse voxel ops.
+
+Flax rewrite of reference
+pointcept/models/sparse_unet/spconv_unet_v1m1_base.py:25-363: stem 5^3
+submanifold conv (6->32) + BN(eps 1e-3, momentum 0.01) + ReLU, scene
+PointFusion right after the stem (reference :327-337), four encoder
+stages [stride-2 SparseConv3d + BasicBlock x (2,3,4,6)] with channels
+(32,64,128,256), four decoder stages [SparseInverseConv3d + skip-concat
++ BasicBlock x 2] with channels (256,128,96,96), final 1^1 SubMConv ->
+``num_classes`` (64).
+
+TPU-native differences: voxel sets are fixed-capacity code-sorted arrays
+with masks (ops/sparse.py); per-level capacities shrink by
+``level_capacity_div``; batch is vmapped per scene while BatchNorm
+statistics are computed over all valid voxels of the whole batch
+(masked), matching the reference's BN over the concatenated sparse
+batch. The scene-level per-device batch is 1 in the reference setup
+(batch 4 over 4 GPUs), and PointFusion follows that layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unipre3d_tpu.ops import sparse as sp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid rows of a padded [..., N, C] tensor
+    (torch eps/momentum defaults of the reference: eps 1e-3,
+    momentum 0.01 -> running = 0.99*running + 0.01*batch)."""
+    eps: float = 1e-3
+    momentum: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if train:
+            m = mask.reshape(-1).astype(jnp.float32)
+            xf = x.reshape(-1, C).astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf * m[:, None], axis=0) / n
+            var = jnp.sum(((xf - mean) ** 2) * m[:, None], axis=0) / n
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return jnp.where(mask[..., None], y.astype(self.dtype), 0.0)
+
+
+def _subm_weight_init(key, shape, dtype=jnp.float32):
+    """trunc_normal(0.02) (reference :280-283)."""
+    return 0.02 * jax.random.truncated_normal(key, -2, 2, shape, dtype)
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv over a precomputed neighbor table.
+
+    Weight layout [K, Cin, Cout]; call with feats [B, M, Cin] and
+    nbr [B, M, K]."""
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        K = self.kernel_size ** 3
+        Cin = feats.shape[-1]
+        w = self.param("kernel", _subm_weight_init,
+                       (K, Cin, self.out_channels))
+        y = jax.vmap(sp.subm_gather_matmul, in_axes=(0, 0, None))(
+            feats, nbr, w.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+        return y
+
+
+class SubMConvBlock(nn.Module):
+    """SubMConv3d(k3) + BN + ReLU — the scene ``fusion_mlps`` (reference
+    model/gaussian_predictor.py:228-234)."""
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, mask, train: bool = False):
+        y = SubMConv(self.channels, 3, use_bias=True, dtype=self.dtype,
+                     name="conv")(feats, nbr)
+        y = MaskedBatchNorm(dtype=self.dtype, name="bn")(y, mask, train)
+        return nn.relu(y)
+
+
+class BasicBlock(nn.Module):
+    """Residual block: [conv3-bn-relu-conv3-bn] + proj(x), relu
+    (reference :25-106)."""
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, mask, train: bool = False):
+        h = SubMConv(self.channels, 3, dtype=self.dtype,
+                     name="conv1")(feats, nbr)
+        h = MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, mask, train)
+        h = nn.relu(h)
+        h = SubMConv(self.channels, 3, dtype=self.dtype,
+                     name="conv2")(h, nbr)
+        h = MaskedBatchNorm(dtype=self.dtype, name="bn2")(h, mask, train)
+        if feats.shape[-1] == self.channels:
+            res = feats
+        else:
+            res = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                           name="proj")(feats)
+            res = MaskedBatchNorm(dtype=self.dtype,
+                                  name="proj_bn")(res, mask, train)
+        return nn.relu(h + res)
+
+
+class DownConv(nn.Module):
+    """SparseConv3d(k2, s2) + BN + ReLU (reference :208-218)."""
+    out_channels: int
+    capacity_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sv_batch, train: bool = False):
+        w = self.param("kernel", _subm_weight_init,
+                       (8, sv_batch.feats.shape[-1], self.out_channels))
+        down = jax.vmap(
+            lambda sv, wk: sp.downsample(sv, wk, self.capacity_out),
+            in_axes=(0, None))(sv_batch, w.astype(self.dtype))
+        f = MaskedBatchNorm(dtype=self.dtype, name="bn")(
+            down.sv.feats, down.sv.mask, train)
+        f = nn.relu(f)
+        return down._replace(sv=down.sv._replace(feats=f))
+
+
+class UpConv(nn.Module):
+    """SparseInverseConv3d(k2) + BN + ReLU (reference :245-256)."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, down, coarse_feats, fine_mask, train: bool = False):
+        w = self.param("kernel", _subm_weight_init,
+                       (8, coarse_feats.shape[-1], self.out_channels))
+        f = jax.vmap(sp.inverse_conv, in_axes=(0, 0, 0, None))(
+            down, coarse_feats, fine_mask, w.astype(self.dtype))
+        f = MaskedBatchNorm(dtype=self.dtype, name="bn")(f, fine_mask, train)
+        return nn.relu(f)
+
+
+def point_fusion_merge(sv: sp.SparseVoxels, world: jnp.ndarray,
+                       image_features: jnp.ndarray,
+                       unprojected: jnp.ndarray, min_coord: jnp.ndarray,
+                       grid_size: float, capacity_2d: int):
+    """Scene PointFusion, geometry part (reference
+    fusion/point_fusion.py:36-195): voxelize per-pixel unprojected world
+    coords (validity in channel 3) at the 3D branch's ``min_coord``,
+    bbox-filter to the 3D cloud extent, concat the pixel voxel set with
+    the 3D voxel set (duplicates allowed — pixels become extra
+    Gaussian-bearing points). One scene; vmap for batch.
+
+    image_features [V, C, H, W], unprojected [V, H, W, 4] ->
+    (merged SparseVoxels, merged world coords [M+P, 3]).
+    The 2D/3D features must share the channel count (fusion_dim).
+    """
+    V, C, H, W = image_features.shape
+    pix_world = unprojected[..., :3].reshape(-1, 3)
+    pix_valid = unprojected[..., 3].reshape(-1) > 0
+
+    # bbox of the valid 3D cloud (reference _get_bounding_mask)
+    big = jnp.float32(1e9)
+    w3 = jnp.where(sv.mask[:, None], world, big)
+    lo = jnp.min(w3, axis=0)
+    w3 = jnp.where(sv.mask[:, None], world, -big)
+    hi = jnp.max(w3, axis=0)
+    pix_valid = pix_valid & jnp.all(
+        (pix_world >= lo) & (pix_world <= hi), axis=-1)
+
+    pix_feats = image_features.transpose(0, 2, 3, 1).reshape(-1, C)
+    sv2d, _, world2d = sp.voxelize(pix_world, pix_feats, pix_valid,
+                                   grid_size, min_coord, capacity_2d)
+
+    merged, order = sp.merge_voxel_sets(sv.coords, sv.feats, sv.mask,
+                                        sv2d.coords, sv2d.feats, sv2d.mask)
+    world_cat = jnp.concatenate([world, world2d], axis=0)
+    merged_world = jnp.take(world_cat, order, axis=0)
+    return merged, merged_world
+
+
+class SpUNet(nn.Module):
+    """SpUNet-v1m1 (reference SpUNetBase:107). ``forward_point_fusion``
+    is the scene entry used by PointFeaturePredictor."""
+    in_channels: int = 6
+    num_classes: int = 64
+    base_channels: int = 32
+    channels: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    grid_size: float = 0.02
+    pixel_capacity: int = 4096     # extra voxel slots for fused pixels
+    level_capacity_div: Sequence[int] = (2, 4, 8, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def forward_point_fusion(self, data, image_features=None,
+                             unprojected=None, fusion_mlp=None,
+                             train: bool = False):
+        """data: dict with ``coord`` [B, M, 3] world, ``grid_coord``
+        [B, M, 3], ``feat`` [B, M, in_channels], ``mask`` [B, M],
+        ``min_coord`` [B, 3]. image_features [B*V, C, H, W] (C ==
+        base_channels), unprojected [B, V, H, W, 4].
+
+        Returns (features [B, M', num_classes], world coords [B, M', 3],
+        mask [B, M']) where M' = M + pixel_capacity when fusion is on.
+        """
+        B, M = data["mask"].shape
+        n_stages = len(self.layers) // 2
+
+        sv_b, order = jax.vmap(sp.canonicalize)(
+            data["grid_coord"],
+            data["feat"].astype(self.dtype),
+            data["mask"])
+        world = jnp.take_along_axis(data["coord"], order[..., None], axis=1)
+
+        offs3 = sp.kernel_offsets(3)
+        offs5 = sp.kernel_offsets(5)
+
+        # stem: SubMConv k5 (6 -> base) + BN + ReLU
+        nbr5 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(sv_b, offs5)
+        x = SubMConv(self.base_channels, 5, dtype=self.dtype,
+                     name="conv_input")(sv_b.feats, nbr5)
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn_input")(
+            x, sv_b.mask, train)
+        x = nn.relu(x)
+        sv_b = sv_b._replace(feats=x)
+
+        if fusion_mlp is not None:
+            V = unprojected.shape[1]
+            img = image_features.reshape(B, V, *image_features.shape[1:])
+            merged, world = jax.vmap(
+                point_fusion_merge,
+                in_axes=(0, 0, 0, 0, 0, None, None))(
+                sv_b, world, img.astype(self.dtype), unprojected,
+                data["min_coord"], self.grid_size, self.pixel_capacity)
+            sv_b = merged
+            nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+                sv_b, offs3)
+            fused = fusion_mlp(sv_b.feats, nbr3, sv_b.mask, train)
+            sv_b = sv_b._replace(feats=fused)
+
+        fine_mask0 = sv_b.mask
+        world0 = world
+
+        # encoder
+        skips = [sv_b]
+        downs = []
+        cur = sv_b
+        for s in range(n_stages):
+            cap = max(M // self.level_capacity_div[s], 64)
+            d = DownConv(self.channels[s], cap, dtype=self.dtype,
+                         name=f"down{s}")(cur, train)
+            downs.append(d)
+            cur = d.sv
+            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(cur, offs3)
+            f = cur.feats
+            for i in range(self.layers[s]):
+                f = BasicBlock(self.channels[s], dtype=self.dtype,
+                               name=f"enc{s}_block{i}")(f, nbr, cur.mask,
+                                                        train)
+            cur = cur._replace(feats=f)
+            skips.append(cur)
+
+        # decoder channel plumbing (reference :230-276): dec_channels
+        # starts at channels[-1], then follows channels[len - s - 2]
+        x_sv = skips.pop(-1)
+        ref_dec = []
+        dc = self.channels[-1]
+        for s in range(n_stages):
+            ref_dec.append(dc)
+            dc = self.channels[len(self.channels) - s - 2]
+        f = x_sv.feats
+        for s in reversed(range(n_stages)):
+            skip = skips.pop(-1)
+            f = UpConv(ref_dec[s], dtype=self.dtype, name=f"up{s}")(
+                downs[s], f, skip.mask, train)
+            f = jnp.concatenate([f, skip.feats], axis=-1)
+            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(skip, offs3)
+            n_blocks = self.layers[len(self.channels) - s - 1]
+            for i in range(n_blocks):
+                f = BasicBlock(ref_dec[s], dtype=self.dtype,
+                               name=f"dec{s}_block{i}")(f, nbr, skip.mask,
+                                                        train)
+
+        # final 1x1 SubMConv -> num_classes (identity neighbor = self)
+        f = nn.Dense(self.num_classes, use_bias=True, dtype=self.dtype,
+                     name="final")(f)
+        f = jnp.where(fine_mask0[..., None], f, 0.0)
+        return f, world0, fine_mask0

@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAX_DEPTH = 10  # 3*10 = 30 bits in uint32
 
@@ -181,11 +182,11 @@ def encode(grid_coord: jnp.ndarray, order: str = "z",
     if order == "z":
         return z_order_encode(grid_coord, depth)
     if order == "z-trans":
-        return z_order_encode(grid_coord[..., jnp.array([1, 0, 2])], depth)
+        return z_order_encode(grid_coord[..., np.array([1, 0, 2])], depth)
     if order == "hilbert":
         return hilbert_encode(grid_coord, depth)
     if order == "hilbert-trans":
-        return hilbert_encode(grid_coord[..., jnp.array([1, 0, 2])], depth)
+        return hilbert_encode(grid_coord[..., np.array([1, 0, 2])], depth)
     if order in _PERMS:
         p = _PERMS[order]
         g = grid_coord.astype(jnp.uint32)

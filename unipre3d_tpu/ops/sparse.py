@@ -1,0 +1,265 @@
+"""Static-shape sparse voxel ops for TPU (spconv equivalent).
+
+TPU-native replacement for the external ``spconv`` package the reference
+depends on (SparseUNet / PTv3 / scene PointFusion; see SURVEY.md §2.7):
+instead of dynamic hash tables + gather-scatter CUDA kernels, a voxel
+set is a fixed-capacity array with a validity mask, kept **sorted by a
+packed 30-bit grid code**, and every conv becomes
+
+    neighbor-table lookup (vectorized binary search over the sorted
+    codes)  ->  flat gather  ->  one [M, K*Cin] @ [K*Cin, Cout] matmul
+
+which maps straight onto the MXU with static shapes. Downsampling /
+inverse ("transpose") convolutions reuse the parent-child relation of
+stride-2 voxel trees: each fine voxel belongs to exactly one parent, so
+a stride-2 SparseConv3d is 8 masked matmuls + one segment-sum, and a
+SparseInverseConv3d is a gather from the parent + 8 masked matmuls —
+no index structures to persist beyond a per-level ``parent_idx``.
+
+All functions operate on ONE scene (no batch axis); batch via
+``jax.vmap``. Mirrors spconv semantics used at reference
+pointcept/models/sparse_unet/spconv_unet_v1m1_base.py:153-276 and
+fusion/point_fusion.py:159-171.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CODE_BITS = 10          # per-axis bits; grid coords must be < 1024
+# np scalar, NOT a jax array: jax-array closure constants get
+# lifted to hidden executable parameters (jax 0.9) and the C++
+# dispatch fastpath fails to resupply them on cache hits.
+INVALID_CODE = np.uint32(0xFFFFFFFF)
+
+
+class SparseVoxels(NamedTuple):
+    """One scene's voxel set, sorted by packed code, padded to capacity.
+
+    coords: [M, 3] int32 grid coords (0 where invalid)
+    feats:  [M, C] float
+    mask:   [M] bool
+    """
+    coords: jnp.ndarray
+    feats: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def pack_code(coords: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """coords [M, 3] (>=0, < 2^10), mask [M] -> uint32 code; invalid rows
+    get INVALID_CODE so they sort to the end."""
+    c = jnp.clip(coords, 0, (1 << CODE_BITS) - 1).astype(jnp.uint32)
+    code = (c[:, 0] << (2 * CODE_BITS)) | (c[:, 1] << CODE_BITS) | c[:, 2]
+    return jnp.where(mask, code, INVALID_CODE)
+
+
+def canonicalize(coords, feats, mask) -> Tuple[SparseVoxels, jnp.ndarray]:
+    """Sort voxels by packed code (invalid at the end). Returns the
+    sorted SparseVoxels and the permutation used."""
+    code = pack_code(coords, mask)
+    order = jnp.argsort(code).astype(jnp.int32)
+    return SparseVoxels(coords=jnp.take(coords, order, axis=0),
+                        feats=jnp.take(feats, order, axis=0),
+                        mask=jnp.take(mask, order, axis=0)), order
+
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """All 3D offsets of a cubic kernel, center-anchored (odd sizes).
+    [K, 3] int32, ordered x-major to match a fixed weight layout."""
+    assert kernel_size % 2 == 1
+    r = kernel_size // 2
+    offs = [(dx, dy, dz)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            for dz in range(-r, r + 1)]
+    return np.asarray(offs, dtype=np.int32)
+
+
+def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
+    """Submanifold neighbor table via binary search.
+
+    sv must be canonical (code-sorted). offsets [K, 3] ->
+    idx [M, K] int32 row index of the voxel at coords+offset, or -1.
+    """
+    M = sv.coords.shape[0]
+    codes = pack_code(sv.coords, sv.mask)  # sorted, invalid at end
+    offs = np.asarray(offsets)             # [K, 3] (np: embeds as HLO const)
+    tgt_coords = sv.coords[:, None, :] + offs[None, :, :]      # [M, K, 3]
+    in_range = jnp.all(
+        (tgt_coords >= 0) & (tgt_coords < (1 << CODE_BITS)), axis=-1)
+    tgt_mask = sv.mask[:, None] & in_range
+    tgt = pack_code(tgt_coords.reshape(-1, 3),
+                    tgt_mask.reshape(-1)).reshape(M, -1)        # [M, K]
+    pos = jnp.searchsorted(codes, tgt).astype(jnp.int32)        # [M, K]
+    pos_c = jnp.clip(pos, 0, M - 1)
+    found = (jnp.take(codes, pos_c) == tgt) & (tgt != INVALID_CODE)
+    return jnp.where(found, pos_c, -1)
+
+
+def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
+                      weight: jnp.ndarray,
+                      precision=None) -> jnp.ndarray:
+    """Gather neighbor features and contract with the kernel.
+
+    feats [M, Cin], nbr_idx [M, K] (-1 = missing), weight [K, Cin, Cout]
+    -> [M, Cout]. Missing neighbors contribute zero (spconv submanifold
+    semantics)."""
+    M, Cin = feats.shape
+    K = nbr_idx.shape[1]
+    safe = jnp.clip(nbr_idx, 0, M - 1)
+    g = jnp.take(feats, safe.reshape(-1), axis=0).reshape(M, K, Cin)
+    g = jnp.where((nbr_idx >= 0)[..., None], g, 0.0)
+    return jax.lax.dot_general(
+        g.reshape(M, K * Cin), weight.reshape(K * Cin, -1),
+        (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+class Downsampled(NamedTuple):
+    sv: SparseVoxels            # coarse level (canonical)
+    parent_idx: jnp.ndarray     # [M_fine] coarse row of each fine voxel (-1)
+    child_offset: jnp.ndarray   # [M_fine] kernel slot in [0, 8)
+
+
+def downsample(sv: SparseVoxels, weight: jnp.ndarray,
+               capacity_out: int) -> Downsampled:
+    """SparseConv3d(kernel=2, stride=2) (reference
+    spconv_unet_v1m1_base.py:208-218): output voxel set = distinct
+    parents (coords >> 1); y[parent] = sum_children W[slot(child)] x[child]
+    where slot = child coords & 1 packed as x*4+y*2+z.
+
+    weight: [8, Cin, Cout]. Parents beyond capacity_out are dropped
+    (sorted order keeps the drop deterministic).
+
+    Note: the packed code is lexicographic, so parent codes are NOT
+    monotone under the child-code sort — the children are re-sorted by
+    parent code before the adjacency dedup."""
+    M = sv.coords.shape[0]
+    parent = sv.coords >> 1
+    pcode = pack_code(parent, sv.mask)
+    order = jnp.argsort(pcode).astype(jnp.int32)     # children by parent
+    pcode_s = jnp.take(pcode, order)
+    parent_s = jnp.take(parent, order, axis=0)
+    feats_s = jnp.take(sv.feats, order, axis=0)
+    coords_s = jnp.take(sv.coords, order, axis=0)
+    mask_s = pcode_s != INVALID_CODE
+
+    first = jnp.concatenate(
+        [np.array([True]), pcode_s[1:] != pcode_s[:-1]]) & mask_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1    # [M] parent slot
+    seg = jnp.where(mask_s & (seg < capacity_out), seg, capacity_out)
+    seg_rep = jnp.where(first, seg, capacity_out)    # one writer per slot
+
+    out_mask = jnp.zeros((capacity_out + 1,), bool).at[seg_rep].set(
+        True)[:capacity_out]
+    out_coords = jnp.zeros((capacity_out + 1, 3), jnp.int32).at[
+        seg_rep].set(parent_s)[:capacity_out]
+
+    child = coords_s & 1
+    slot = child[:, 0] * 4 + child[:, 1] * 2 + child[:, 2]  # [M] in [0,8)
+    Cout = weight.shape[-1]
+    contrib = jnp.zeros((M, Cout), dtype=sv.feats.dtype)
+    for k in range(8):
+        sel = (slot == k) & mask_s
+        xk = jnp.where(sel[:, None], feats_s, 0.0)
+        contrib = contrib + jnp.dot(
+            xk, weight[k], preferred_element_type=jnp.float32
+        ).astype(sv.feats.dtype)
+    out_feats = jnp.zeros((capacity_out + 1, Cout),
+                          dtype=sv.feats.dtype).at[seg].add(
+        contrib)[:capacity_out]
+
+    # map back to the original fine-row order
+    parent_idx = jnp.zeros((M,), jnp.int32).at[order].set(
+        jnp.where(seg < capacity_out, seg, -1))
+    parent_idx = jnp.where(sv.mask, parent_idx, -1)
+    child_orig = sv.coords & 1
+    slot_orig = (child_orig[:, 0] * 4 + child_orig[:, 1] * 2
+                 + child_orig[:, 2]).astype(jnp.int32)
+    out = SparseVoxels(coords=jnp.where(out_mask[:, None], out_coords, 0),
+                       feats=jnp.where(out_mask[:, None], out_feats, 0.0),
+                       mask=out_mask)
+    return Downsampled(sv=out, parent_idx=parent_idx,
+                       child_offset=slot_orig)
+
+
+def inverse_conv(down: Downsampled, coarse_feats: jnp.ndarray,
+                 fine_mask: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """SparseInverseConv3d(kernel=2) back to the fine voxel set
+    (reference :245-256): y[child] = W[slot(child)] x[parent].
+
+    coarse_feats [M_coarse, Cin], weight [8, Cin, Cout] -> [M_fine, Cout].
+    """
+    Mc = coarse_feats.shape[0]
+    safe = jnp.clip(down.parent_idx, 0, Mc - 1)
+    gathered = jnp.take(coarse_feats, safe, axis=0)  # [M_fine, Cin]
+    valid = (down.parent_idx >= 0) & fine_mask
+    gathered = jnp.where(valid[:, None], gathered, 0.0)
+    Cout = weight.shape[-1]
+    out = jnp.zeros((gathered.shape[0], Cout), dtype=coarse_feats.dtype)
+    for k in range(8):
+        sel = (down.child_offset == k) & valid
+        xk = jnp.where(sel[:, None], gathered, 0.0)
+        out = out + jnp.dot(xk, weight[k],
+                            preferred_element_type=jnp.float32
+                            ).astype(coarse_feats.dtype)
+    return out
+
+
+def voxelize(points: jnp.ndarray, feats: jnp.ndarray, mask: jnp.ndarray,
+             grid_size: float, min_coord: jnp.ndarray,
+             capacity: int) -> Tuple[SparseVoxels, jnp.ndarray, jnp.ndarray]:
+    """GridSample-style dedup: one representative (first in code order)
+    per occupied voxel (reference
+    pointcept/datasets/transform_with_extrinsic.py:1179-1327, train mode,
+    shared ``min_coord`` with the 3D branch as in point_fusion.py:64-73).
+
+    points [N, 3] world coords, feats [N, C], mask [N] ->
+    (SparseVoxels (canonical, capacity rows), rep_idx [capacity] input row
+    of each kept voxel (-1), world_coords [capacity, 3] of the rep).
+    """
+    g = jnp.floor((points - min_coord[None, :]) / grid_size).astype(jnp.int32)
+    g = jnp.clip(g, 0, (1 << CODE_BITS) - 1)
+    code = pack_code(g, mask)
+    order = jnp.argsort(code).astype(jnp.int32)
+    code_s = jnp.take(code, order)
+    g_s = jnp.take(g, order, axis=0)
+    f_s = jnp.take(feats, order, axis=0)
+    p_s = jnp.take(points, order, axis=0)
+    m_s = code_s != INVALID_CODE
+
+    first = jnp.concatenate(
+        [np.array([True]), code_s[1:] != code_s[:-1]]) & m_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(first, seg, capacity)  # only reps scatter
+
+    out_mask = jnp.zeros((capacity + 1,), bool).at[seg].set(
+        True, mode="drop")[:capacity]
+    out_coords = jnp.zeros((capacity + 1, 3), jnp.int32).at[seg].set(
+        g_s, mode="drop")[:capacity]
+    out_feats = jnp.zeros((capacity + 1, feats.shape[-1]),
+                          dtype=feats.dtype).at[seg].set(
+        f_s, mode="drop")[:capacity]
+    rep = jnp.full((capacity + 1,), -1, jnp.int32).at[seg].set(
+        order, mode="drop")[:capacity]
+    world = jnp.zeros((capacity + 1, 3), dtype=points.dtype).at[seg].set(
+        p_s, mode="drop")[:capacity]
+    sv = SparseVoxels(coords=out_coords, feats=out_feats, mask=out_mask)
+    return sv, rep, world
+
+
+def merge_voxel_sets(a_coords, a_feats, a_mask, b_coords, b_feats, b_mask
+                     ) -> Tuple[SparseVoxels, jnp.ndarray]:
+    """Concatenate two voxel sets (duplicates allowed, as the reference's
+    PointFusion concatenates indices, point_fusion.py:159-168) and
+    re-canonicalize. Returns the merged set and the permutation applied
+    to the concatenated rows (first len(a) rows are a's)."""
+    coords = jnp.concatenate([a_coords, b_coords], axis=0)
+    feats = jnp.concatenate([a_feats, b_feats], axis=0)
+    mask = jnp.concatenate([a_mask, b_mask], axis=0)
+    return canonicalize(coords, feats, mask)

@@ -142,6 +142,19 @@ def compute_loss(rendered: jnp.ndarray, gt: jnp.ndarray, cfg,
     return main, {"loss": main, "psnr": psnr}
 
 
+def model_inputs(batch, n_in: int, level: str):
+    """Positional model args for one batch (object vs scene schema)."""
+    to_arr = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    if level == "scene":
+        return (to_arr(batch["point_cloud"]),
+                jnp.asarray(batch["gt_images"][:, :n_in]),
+                None,
+                jnp.asarray(batch["unprojected_coords"]))
+    return (jnp.asarray(batch["point_cloud"]),
+            jnp.asarray(batch["gt_images"][:, :n_in]),
+            jnp.asarray(batch["view_to_world_transforms"][:, :n_in]))
+
+
 def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
     """Initialize model params/batch_stats/optimizer/EMA."""
     model = build_predictor(cfg, dtype=dtype)
@@ -151,9 +164,7 @@ def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
     init_fn = jax.jit(functools.partial(model.init, train=False))
     variables = init_fn(
         {"params": init_rng, "droppath": init_rng},
-        jnp.asarray(sample_batch["point_cloud"]),
-        jnp.asarray(sample_batch["gt_images"][:, :n_in]),
-        jnp.asarray(sample_batch["view_to_world_transforms"][:, :n_in]))
+        *model_inputs(sample_batch, n_in, cfg.opt.level))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx, schedule = make_optimizer(cfg)
@@ -165,8 +176,11 @@ def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
 
 
 def make_train_step(cfg, model, tx):
-    bg_color = jnp.asarray(
-        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0])
+    # np, not jnp: jax-array closure constants are lifted to hidden
+    # executable parameters and break the dispatch fastpath (jax 0.9)
+    bg_color = np.asarray(
+        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0],
+        dtype=np.float32)
     n_in = int(cfg.data.input_images)
     ema_cfg = cfg.opt.ema
     ema_beta = float(ema_cfg.beta)
@@ -174,15 +188,15 @@ def make_train_step(cfg, model, tx):
     ema_after = int(ema_cfg.update_after_step)
     use_ema = bool(ema_cfg.use)
 
+    level = cfg.opt.level
+
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(
             variables,
-            batch["point_cloud"],
-            batch["gt_images"][:, :n_in],
-            batch["view_to_world_transforms"][:, :n_in],
+            *model_inputs(batch, n_in, level),
             train=True,
             rngs={"droppath": rng},
             mutable=["batch_stats"] if batch_stats else [])
@@ -231,8 +245,9 @@ def make_train_step(cfg, model, tx):
 def make_eval_step(cfg, model, use_ema: bool = True):
     """Render every view of a batch with the (EMA) params and return
     per-view PSNR/SSIM split cond vs novel (reference eval.py:35-178)."""
-    bg_color = jnp.asarray(
-        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0])
+    bg_color = np.asarray(
+        [1.0, 1.0, 1.0] if cfg.data.white_background else [0.0, 0.0, 0.0],
+        dtype=np.float32)
     n_in = int(cfg.data.input_images)
 
     def eval_step(state: TrainState, batch):
@@ -241,8 +256,8 @@ def make_eval_step(cfg, model, use_ema: bool = True):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         gaussians = model.apply(
-            variables, batch["point_cloud"], batch["gt_images"][:, :n_in],
-            batch["view_to_world_transforms"][:, :n_in], train=False)
+            variables, *model_inputs(batch, n_in, cfg.opt.level),
+            train=False)
         rendered = render_supervision_views(gaussians, batch, cfg, bg_color,
                                             start_view=0)
         gt = batch["gt_images"]
