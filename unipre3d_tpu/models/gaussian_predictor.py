@@ -217,12 +217,15 @@ class GaussianSplatPredictor(nn.Module):
             center.astype(jnp.float32)[..., :3]
         if self.isotropic:
             scaling = jnp.broadcast_to(scaling[..., :1], scaling.shape)
+        # safe norm: padded scene rows have rotation == 0 and
+        # jnp.linalg.norm has a NaN gradient at exactly 0
+        rot_norm = jnp.sqrt(jnp.sum(rotation ** 2, axis=-1,
+                                    keepdims=True) + 1e-12)
         d = {
             "xyz": pos,
             "opacity": jax.nn.sigmoid(opacity),
             "scaling": jnp.exp(jnp.clip(scaling, -1, 20)),
-            "rotation": rotation / jnp.maximum(
-                jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-6),
+            "rotation": rotation / jnp.maximum(rot_norm, 1e-6),
             "features_dc": f_dc.reshape(*f_dc.shape[:-1], 1, 3),
         }
         if self.max_sh_degree > 0:

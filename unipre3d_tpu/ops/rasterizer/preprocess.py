@@ -146,10 +146,9 @@ def preprocess_gaussians(
     valid = valid & on_screen
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
-    # --- SH -> RGB ---
+    # --- SH -> RGB --- (safe norm: NaN-free gradient at dirs == 0)
     dirs = means3d - cam_center.astype(f32)[None, :]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                              1e-8)
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs ** 2, axis=-1, keepdims=True) + 1e-12)
     color = sh_to_rgb_clamped(sh_degree, shs.astype(f32), dirs)
 
     return ProjectedGaussians(
