@@ -56,7 +56,7 @@ class TestSceneDataset:
 
 
 class TestSceneTraining:
-    @pytest.mark.parametrize("backbone", ["sparseunet"])
+    @pytest.mark.parametrize("backbone", ["sparseunet", "ptv3"])
     def test_two_train_steps_improve_nothing_nan(self, backbone):
         cfg, batch = scene_setup(backbone)
         model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0),

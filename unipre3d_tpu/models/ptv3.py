@@ -1,0 +1,347 @@
+"""PointTransformerV3 (PT-v3m1) scene backbone: serialized patch attention.
+
+Flax/TPU rewrite of reference pointcept/models/point_transformer_v3/
+point_transformer_v3m1_base.py:32-779 with the UniPre3D pretraining
+setup: orders ("z", "z-trans"), enc depths (2,2,2,6,2) channels
+(32,64,128,256,512) heads (2,4,8,16,32), dec depths (2,2,2,2) channels
+(64,64,128,256) heads (4,4,8,16), patch size 48, mlp ratio 4, drop-path
+0.3, pre-norm, xCPE (SubMConv3d k3 + Linear + LayerNorm), scene
+PointFusion after the embedding followed by re-serialization of the
+merged cloud (reference :739-770).
+
+TPU-native design:
+
+* Points live in fixed-capacity code-sorted voxel arrays (ops/sparse.py)
+  so the xCPE sparse conv reuses the binary-search neighbor tables.
+* Serialized attention is masked dense attention over ``[M/K, K]``
+  patches of the order-sorted sequence (the TPU analog of flash-attn
+  varlen at reference :211-218): invalid (padding) keys are masked with
+  -1e9 instead of the reference's replicate-last-patch trick.
+* SerializedPooling's code-prefix clustering equals coords>>1 for the
+  z/z-trans orders used here, so pooling = sparse.pool_clusters +
+  segment max (feat) / mean (coord); unpooling gathers through the
+  recorded ``parent_idx``.
+* ``shuffle_orders`` draws a random order permutation from the
+  ``droppath`` rng stream at train time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unipre3d_tpu.models.layers import DropPath
+from unipre3d_tpu.models.sparseunet import (MaskedBatchNorm, SubMConv,
+                                            point_fusion_merge)
+from unipre3d_tpu.ops import sparse as sp
+from unipre3d_tpu.ops.serialization import encode
+
+SER_DEPTH = 10
+
+
+class Serialized(NamedTuple):
+    """Per-order sort of one scene's canonical voxel rows.
+
+    order:   [O, M] canonical row at each sorted position
+    inverse: [O, M] sorted position of each canonical row
+    """
+    order: jnp.ndarray
+    inverse: jnp.ndarray
+
+
+def serialize(coords: jnp.ndarray, mask: jnp.ndarray,
+              orders: Sequence[str], depth: int = SER_DEPTH) -> Serialized:
+    """Compute per-order argsort/inverse for one scene (reference
+    Point.serialization, pointcept/models/utils/structure.py:47-102).
+    Invalid rows sort to the end of every order."""
+    M = coords.shape[0]
+    ods, invs = [], []
+    arange = jnp.arange(M, dtype=jnp.int32)
+    for o in orders:
+        code = encode(jnp.clip(coords, 0, (1 << depth) - 1), order=o,
+                      depth=depth)
+        code = jnp.where(mask, code, np.uint32(0xFFFFFFFF))
+        order = jnp.argsort(code).astype(jnp.int32)
+        inverse = jnp.zeros((M,), jnp.int32).at[order].set(arange)
+        ods.append(order)
+        invs.append(inverse)
+    return Serialized(order=jnp.stack(ods), inverse=jnp.stack(invs))
+
+
+def patch_attention(qkv: jnp.ndarray, order: jnp.ndarray,
+                    inverse: jnp.ndarray, mask: jnp.ndarray,
+                    num_heads: int, patch_size: int) -> jnp.ndarray:
+    """Masked patch attention over one order of one scene.
+
+    qkv [M, 3C] in canonical row order; order/inverse [M]; mask [M] ->
+    [M, C] canonical order. The sorted sequence is padded with invalid
+    rows up to a multiple of patch_size (invalid rows already sort last,
+    so real points never share a patch boundary shift).
+    """
+    M, C3 = qkv.shape
+    C = C3 // 3
+    H, K = num_heads, patch_size
+    hd = C // H
+    Mpad = -(-M // K) * K
+    if Mpad != M:
+        qkv = jnp.pad(qkv, ((0, Mpad - M), (0, 0)))
+        order = jnp.concatenate(
+            [order, jnp.arange(M, Mpad, dtype=order.dtype)])
+        mask = jnp.pad(mask, (0, Mpad - M))
+    q, k, v = jnp.split(jnp.take(qkv, order, axis=0), 3, axis=-1)
+    m_s = jnp.take(mask, order)
+    P = Mpad // K
+
+    def heads(x):
+        return x.reshape(P, K, H, hd).transpose(0, 2, 1, 3)  # [P,H,K,hd]
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = hd ** -0.5
+    logits = jnp.einsum("phqd,phkd->phqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    key_ok = m_s.reshape(P, 1, 1, K)
+    logits = jnp.where(key_ok, logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("phqk,phkd->phqd", attn.astype(v.dtype), v)
+    out = out.transpose(0, 2, 1, 3).reshape(Mpad, C)
+    out = jnp.where(m_s[:, None], out, 0.0)
+    return jnp.take(out, inverse, axis=0)  # inverse positions are < M
+
+
+class SerializedAttention(nn.Module):
+    """qkv -> per-order patch attention -> proj (reference :54-225)."""
+    channels: int
+    num_heads: int
+    patch_size: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, ser: Serialized, mask, order_index: int):
+        qkv = nn.Dense(3 * self.channels, use_bias=True, dtype=self.dtype,
+                       name="qkv")(feat)
+        out = jax.vmap(patch_attention,
+                       in_axes=(0, 0, 0, 0, None, None))(
+            qkv, ser.order[:, order_index], ser.inverse[:, order_index],
+            mask, self.num_heads, self.patch_size)
+        return nn.Dense(self.channels, dtype=self.dtype, name="proj")(out)
+
+
+class PTv3Block(nn.Module):
+    """xCPE + pre-norm attention + pre-norm MLP (reference Block:254-341).
+    ``nbr`` is the stage's 3^3 submanifold neighbor table."""
+    channels: int
+    num_heads: int
+    patch_size: int = 48
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    order_index: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, nbr, ser: Serialized, mask,
+                 deterministic: bool = True):
+        dp = DropPath(self.drop_path)
+        # xCPE
+        h = jax.vmap(sp.subm_gather_matmul, in_axes=(0, 0, None))(
+            feat, nbr,
+            self.param("cpe_kernel",
+                       nn.initializers.variance_scaling(1.0, "fan_in",
+                                                        "truncated_normal"),
+                       (27, self.channels, self.channels)).astype(self.dtype))
+        h = h + self.param("cpe_bias", nn.initializers.zeros,
+                           (self.channels,))
+        h = nn.Dense(self.channels, dtype=self.dtype, name="cpe_fc")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="cpe_norm")(h)
+        feat = feat + h
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(feat)
+        h = SerializedAttention(self.channels, self.num_heads,
+                                self.patch_size, dtype=self.dtype,
+                                name="attn")(h, ser, mask, self.order_index)
+        feat = feat + dp(h, deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(feat)
+        h = nn.Dense(int(self.channels * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="mlp_fc2")(h)
+        feat = feat + dp(h, deterministic)
+        return jnp.where(mask[..., None], feat, 0.0)
+
+
+class PointTransformerV3(nn.Module):
+    """PT-v3m1 assembly (reference :522-779). Scene entry:
+    ``forward_point_fusion``."""
+    in_channels: int = 6
+    orders: Sequence[str] = ("z", "z-trans")
+    enc_depths: Sequence[int] = (2, 2, 2, 6, 2)
+    enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
+    enc_num_head: Sequence[int] = (2, 4, 8, 16, 32)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    dec_channels: Sequence[int] = (64, 64, 128, 256)
+    dec_num_head: Sequence[int] = (4, 4, 8, 16)
+    patch_size: int = 48
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.3
+    shuffle_orders: bool = True
+    grid_size: float = 0.02
+    pixel_capacity: int = 4096
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def forward_point_fusion(self, data, image_features=None,
+                             unprojected=None, fusion_mlp=None,
+                             train: bool = False):
+        """Same contract as SpUNet.forward_point_fusion: returns
+        (features [B, M', dec_channels[0]], world [B, M', 3], mask)."""
+        B, M = data["mask"].shape
+        n_stages = len(self.enc_depths)
+        offs3 = sp.kernel_offsets(3)
+        offs5 = sp.kernel_offsets(5)
+
+        sv_b, order0 = jax.vmap(sp.canonicalize)(
+            data["grid_coord"], data["feat"].astype(self.dtype),
+            data["mask"])
+        world = jnp.take_along_axis(data["coord"], order0[..., None], axis=1)
+
+        # embedding: SubMConv k5 + BN + GELU (reference Embedding:488-520)
+        nbr5 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(sv_b, offs5)
+        x = SubMConv(self.enc_channels[0], 5, dtype=self.dtype,
+                     name="embedding")(sv_b.feats, nbr5)
+        x = MaskedBatchNorm(dtype=self.dtype, name="embedding_bn")(
+            x, sv_b.mask, train)
+        x = nn.gelu(x)
+        sv_b = sv_b._replace(feats=x)
+
+        # scene fusion + re-serialization of the merged cloud (ref :739-770)
+        if fusion_mlp is not None:
+            V = unprojected.shape[1]
+            img = image_features.reshape(B, V, *image_features.shape[1:])
+            merged, world = jax.vmap(
+                point_fusion_merge, in_axes=(0, 0, 0, 0, 0, None, None))(
+                sv_b, world, img.astype(self.dtype), unprojected,
+                data["min_coord"], self.grid_size, self.pixel_capacity)
+            sv_b = merged
+            nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+                sv_b, offs3)
+            sv_b = sv_b._replace(
+                feats=fusion_mlp(sv_b.feats, nbr3, sv_b.mask, train))
+
+        # per-forward random order permutation (reference shuffle_orders)
+        orders = list(self.orders)
+        if self.shuffle_orders and train:
+            rng = self.make_rng("droppath")
+            # static python shuffle is not possible under jit; swap the
+            # two orders stochastically by swapping gather indices below
+            swap = jax.random.bernoulli(rng)
+        else:
+            swap = None
+
+        def make_ser(coords, mask):
+            s = jax.vmap(lambda c, m: serialize(c, m, orders))(coords, mask)
+            if swap is not None:
+                flipped = Serialized(order=jnp.flip(s.order, axis=1),
+                                     inverse=jnp.flip(s.inverse, axis=1))
+                s = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(swap, b, a), s, flipped)
+            return s
+
+        depth = SER_DEPTH
+        levels = []   # (sv, world, ser, nbr)
+        cur_sv, cur_world = sv_b, world
+        caps = [cur_sv.mask.shape[1]]
+
+        enc_dpr = [self.drop_path * i / max(sum(self.enc_depths) - 1, 1)
+                   for i in range(sum(self.enc_depths))]
+        di = 0
+        clusters = []
+        feats = cur_sv.feats
+        for s in range(n_stages):
+            if s > 0:
+                # SerializedPooling: cluster by coords>>1, proj+max reduce
+                cap_out = -(-max(caps[-1] // 2, self.patch_size)
+                            // self.patch_size) * self.patch_size
+                caps.append(cap_out)
+                cl = jax.vmap(lambda c, m: sp.pool_clusters(c, m, cap_out))(
+                    cur_sv.coords, cur_sv.mask)
+                proj = nn.Dense(self.enc_channels[s], dtype=self.dtype,
+                                name=f"pool{s}_proj")(feats)
+                pooled = jax.vmap(
+                    lambda v, i: sp.segment_reduce(v, i, cap_out, "max"))(
+                    proj, cl.parent_idx)
+                w_pool = jax.vmap(
+                    lambda v, i: sp.segment_reduce(v, i, cap_out, "mean"))(
+                    cur_world, cl.parent_idx)
+                new_sv = sp.SparseVoxels(coords=cl.coords, feats=pooled,
+                                         mask=cl.mask)
+                # canonical by construction (pool_clusters sorts parents)
+                pooled = MaskedBatchNorm(dtype=self.dtype,
+                                         name=f"pool{s}_bn")(
+                    pooled, cl.mask, train)
+                pooled = nn.gelu(pooled)
+                pooled = jnp.where(cl.mask[..., None], pooled, 0.0)
+                clusters.append(cl)
+                cur_sv = new_sv._replace(feats=pooled)
+                cur_world = w_pool
+                feats = pooled
+                depth -= 1
+
+            ser = make_ser(cur_sv.coords, cur_sv.mask)
+            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+                cur_sv._replace(feats=feats), offs3)
+            for i in range(self.enc_depths[s]):
+                feats = PTv3Block(
+                    self.enc_channels[s], self.enc_num_head[s],
+                    self.patch_size, self.mlp_ratio, enc_dpr[di],
+                    order_index=i % len(orders), dtype=self.dtype,
+                    name=f"enc{s}_block{i}")(feats, nbr, ser, cur_sv.mask,
+                                             deterministic=not train)
+                di += 1
+            cur_sv = cur_sv._replace(feats=feats)
+            levels.append((cur_sv, cur_world, ser, nbr))
+
+        # decoder
+        dec_dpr = [self.drop_path * i / max(sum(self.dec_depths) - 1, 1)
+                   for i in range(sum(self.dec_depths))]
+        dec_ch = list(self.dec_channels) + [self.enc_channels[-1]]
+        feats = levels[-1][0].feats
+        for s in reversed(range(n_stages - 1)):
+            skip_sv, skip_world, skip_ser, skip_nbr = levels[s]
+            cl = clusters[s]
+            h = nn.Dense(dec_ch[s], dtype=self.dtype,
+                         name=f"unpool{s}_proj")(feats)
+            h = MaskedBatchNorm(dtype=self.dtype, name=f"unpool{s}_bn")(
+                h, levels[s + 1][0].mask, train)
+            h = nn.gelu(h)
+            hskip = nn.Dense(dec_ch[s], dtype=self.dtype,
+                             name=f"unpool{s}_proj_skip")(skip_sv.feats)
+            hskip = MaskedBatchNorm(dtype=self.dtype,
+                                    name=f"unpool{s}_skip_bn")(
+                hskip, skip_sv.mask, train)
+            hskip = nn.gelu(hskip)
+            # gather coarse features to the fine rows
+            cap_c = h.shape[1]
+            safe = jnp.clip(cl.parent_idx, 0, cap_c - 1)
+            gathered = jnp.take_along_axis(h, safe[..., None], axis=1)
+            gathered = jnp.where((cl.parent_idx >= 0)[..., None],
+                                 gathered, 0.0)
+            feats = hskip + gathered
+            # dec blocks at this level
+            dd = dec_dpr[sum(self.dec_depths[:s]):sum(self.dec_depths[:s + 1])]
+            dd = list(reversed(dd))
+            for i in range(self.dec_depths[s]):
+                feats = PTv3Block(
+                    dec_ch[s], self.dec_num_head[s], self.patch_size,
+                    self.mlp_ratio, dd[i], order_index=i % len(orders),
+                    dtype=self.dtype,
+                    name=f"dec{s}_block{i}")(feats, skip_nbr, skip_ser,
+                                             skip_sv.mask,
+                                             deterministic=not train)
+
+        mask0 = levels[0][0].mask
+        feats = jnp.where(mask0[..., None], feats, 0.0)
+        return feats, levels[0][1], mask0

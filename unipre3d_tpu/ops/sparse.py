@@ -263,3 +263,61 @@ def merge_voxel_sets(a_coords, a_feats, a_mask, b_coords, b_feats, b_mask
     feats = jnp.concatenate([a_feats, b_feats], axis=0)
     mask = jnp.concatenate([a_mask, b_mask], axis=0)
     return canonicalize(coords, feats, mask)
+
+
+class Clustered(NamedTuple):
+    coords: jnp.ndarray       # [cap, 3] coarse grid coords
+    mask: jnp.ndarray         # [cap]
+    parent_idx: jnp.ndarray   # [M_fine] coarse row per fine voxel (-1)
+
+
+def pool_clusters(coords: jnp.ndarray, mask: jnp.ndarray,
+                  capacity_out: int) -> Clustered:
+    """Stride-2 cluster structure without features: distinct parents
+    (coords >> 1) and the fine->coarse mapping. Backs PTv3's
+    SerializedPooling (reference point_transformer_v3m1_base.py:344-447,
+    whose code-prefix clustering equals coords>>1 for z-orders)."""
+    M = coords.shape[0]
+    parent = coords >> 1
+    pcode = pack_code(parent, mask)
+    order = jnp.argsort(pcode).astype(jnp.int32)
+    pcode_s = jnp.take(pcode, order)
+    parent_s = jnp.take(parent, order, axis=0)
+    mask_s = pcode_s != INVALID_CODE
+    first = jnp.concatenate(
+        [np.array([True]), pcode_s[1:] != pcode_s[:-1]]) & mask_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(mask_s & (seg < capacity_out), seg, capacity_out)
+    seg_rep = jnp.where(first, seg, capacity_out)
+    out_mask = jnp.zeros((capacity_out + 1,), bool).at[seg_rep].set(
+        True)[:capacity_out]
+    out_coords = jnp.zeros((capacity_out + 1, 3), jnp.int32).at[
+        seg_rep].set(parent_s)[:capacity_out]
+    parent_idx = jnp.zeros((M,), jnp.int32).at[order].set(
+        jnp.where(seg < capacity_out, seg, -1))
+    parent_idx = jnp.where(mask, parent_idx, -1)
+    return Clustered(coords=jnp.where(out_mask[:, None], out_coords, 0),
+                     mask=out_mask, parent_idx=parent_idx)
+
+
+def segment_reduce(values: jnp.ndarray, seg_idx: jnp.ndarray,
+                   capacity: int, reduce: str = "max") -> jnp.ndarray:
+    """Masked segment reduction: values [M, C], seg_idx [M] (-1 = skip)
+    -> [capacity, C]. ``reduce`` in {max, sum, mean} (torch_scatter
+    segment_csr equivalent used by PTv3 pooling)."""
+    C = values.shape[-1]
+    ok = seg_idx >= 0
+    tgt = jnp.where(ok, seg_idx, capacity)
+    if reduce == "max":
+        neg = jnp.finfo(values.dtype).min
+        v = jnp.where(ok[:, None], values, neg)
+        out = jnp.full((capacity + 1, C), neg, values.dtype).at[tgt].max(v)
+        out = out[:capacity]
+        return jnp.where(out == neg, 0.0, out)
+    v = jnp.where(ok[:, None], values, 0.0)
+    out = jnp.zeros((capacity + 1, C), values.dtype).at[tgt].add(v)[:capacity]
+    if reduce == "mean":
+        cnt = jnp.zeros((capacity + 1,), values.dtype).at[tgt].add(
+            ok.astype(values.dtype))[:capacity]
+        out = out / jnp.maximum(cnt[:, None], 1.0)
+    return out
