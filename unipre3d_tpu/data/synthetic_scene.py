@@ -191,7 +191,9 @@ class SyntheticSceneDataset:
             pad3 = lambda a: np.concatenate(
                 [a, np.zeros((pad, a.shape[1]), a.dtype)])
             mask = np.concatenate([np.ones(M, bool), np.zeros(pad, bool)])
-            feat = np.concatenate([color_k * 2.0 - 1.0, normal_k], axis=1)
+            # feat order (normal, color) matches the reference Collect
+            # feat_keys (dataset/scannet.py:118)
+            feat = np.concatenate([normal_k, color_k * 2.0 - 1.0], axis=1)
 
             cams = []
             for v in range(n_views):

@@ -1,0 +1,541 @@
+"""Host-side point-cloud transform library with extrinsic propagation.
+
+Numpy rewrite of the reference transform set actually used by the
+UniPre3D pipelines (reference pointcept/datasets/
+transform_with_extrinsic.py; pipeline wiring at dataset/scannet.py:91-157
+and openpoints/transforms/point_transformer_gpu.py:477-537 for the
+object-level rotation): every geometric transform that moves the cloud
+also updates the listed camera ``extrinsic`` matrices (w2c, stored
+row-major) by right-multiplying with the inverse world transform, so
+rendering supervision stays consistent under augmentation.
+
+These run in the input pipeline on the host (numpy), matching the
+reference's CPU transforms; the TPU graph only sees padded tensors.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+TRANSFORMS = {}
+
+
+def register(cls):
+    TRANSFORMS[cls.__name__] = cls
+    return cls
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, data_dict: Dict) -> Dict:
+        for t in self.transforms:
+            data_dict = t(data_dict)
+        return data_dict
+
+
+def _apply_world_transform(data_dict, S_inv, keys):
+    """Right-multiply each listed camera matrix by the inverse world
+    transform (reference RandomRotate:534-549 semantics)."""
+    for key in keys:
+        mats = data_dict[key]
+        data_dict[key] = np.asarray(
+            [np.asarray(m) @ S_inv for m in np.asarray(mats)],
+            dtype=np.float32)
+    return data_dict
+
+
+@register
+class Collect:
+    """Assemble ``feat`` from feat_keys and keep/stack listed keys
+    (reference :31-56)."""
+
+    def __init__(self, keys=(), stack_keys=(), feat_keys=("coord",)):
+        self.keys = keys
+        self.stack_keys = stack_keys
+        self.feat_keys = feat_keys
+
+    def __call__(self, data_dict):
+        out = {k: data_dict[k] for k in self.keys if k in data_dict}
+        for k in self.stack_keys:
+            if k in data_dict:
+                out[k] = np.asarray(data_dict[k])
+        out["feat"] = np.concatenate(
+            [np.asarray(data_dict[k], dtype=np.float32)
+             for k in self.feat_keys], axis=-1)
+        # passthrough of auxiliary keys the TPU schema needs
+        for k in ("min_coord",):
+            if k in data_dict:
+                out[k] = data_dict[k]
+        return out
+
+
+@register
+class ToTensor:
+    """No-op in the TPU pipeline (arrays stay numpy until sharding)."""
+
+    def __call__(self, data_dict):
+        return data_dict
+
+
+@register
+class NormalizeColor:
+    """color/127.5 - 1 (reference :118-143)."""
+
+    def __call__(self, data_dict):
+        if "color" in data_dict:
+            data_dict["color"] = data_dict["color"] / 127.5 - 1.0
+        return data_dict
+
+
+@register
+class NormalizeCoord:
+    """Center + scale to unit ball (reference :147-171)."""
+
+    def __call__(self, data_dict):
+        c = data_dict["coord"]
+        centroid = c.mean(axis=0)
+        c = c - centroid
+        m = np.max(np.sqrt(np.sum(c ** 2, axis=1)))
+        data_dict["coord"] = c / max(m, 1e-12)
+        return data_dict
+
+
+@register
+class PositiveShift:
+    """Shift so all coords >= 0 (reference :175-191)."""
+
+    def __call__(self, data_dict):
+        data_dict["coord"] = data_dict["coord"] - \
+            data_dict["coord"].min(axis=0)
+        return data_dict
+
+
+@register
+class CenterShift:
+    """Shift cloud center (xy; z to the floor when apply_z) to origin,
+    translating the extrinsics along (reference :195-216)."""
+
+    def __init__(self, apply_z=True, keys=()):
+        self.apply_z = apply_z
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        x_min, y_min, z_min = coord.min(axis=0)
+        x_max, y_max, _ = coord.max(axis=0)
+        shift = np.array([(x_min + x_max) / 2, (y_min + y_max) / 2,
+                          z_min if self.apply_z else 0.0])
+        data_dict["coord"] = coord - shift
+        S = np.eye(4)
+        S[:3, 3] = -shift
+        return _apply_world_transform(data_dict, np.linalg.inv(S), self.keys)
+
+
+@register
+class RandomShift:
+    def __init__(self, shift=((-0.2, 0.2), (-0.2, 0.2), (0, 0)), keys=()):
+        self.shift = shift
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        s = np.array([np.random.uniform(*r) for r in self.shift])
+        data_dict["coord"] = data_dict["coord"] + s
+        S = np.eye(4)
+        S[:3, 3] = s
+        return _apply_world_transform(data_dict, np.linalg.inv(S), self.keys)
+
+
+def _axis_rotation(axis: str, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    if axis == "z":
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    raise NotImplementedError(axis)
+
+
+class _RotateBase:
+    def _rotate(self, data_dict, rot_t, keys, center):
+        coord = data_dict["coord"]
+        if center is None:
+            lo, hi = coord.min(axis=0), coord.max(axis=0)
+            center = (lo + hi) / 2
+        center = np.asarray(center, dtype=np.float64)
+        data_dict["coord"] = (coord - center) @ rot_t.T + center
+        S1, Sr, S2 = np.eye(4), np.eye(4), np.eye(4)
+        S1[:3, 3] = -center
+        Sr[:3, :3] = rot_t
+        S2[:3, 3] = center
+        S_inv = np.linalg.inv(S2 @ Sr @ S1)
+        _apply_world_transform(data_dict, S_inv, keys)
+        if "normal" in data_dict:
+            data_dict["normal"] = data_dict["normal"] @ rot_t.T
+        return data_dict
+
+
+@register
+class RandomRotate(_RotateBase):
+    """Random rotation about an axis, extrinsics updated
+    (reference :512-568)."""
+
+    def __init__(self, angle=None, center=None, axis="z",
+                 always_apply=False, p=0.5, keys=()):
+        self.angle = [-1, 1] if angle is None else angle
+        self.axis = axis
+        self.p = 1.0 if always_apply else p
+        self.center = center
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        if random.random() > self.p:
+            return data_dict
+        angle = np.random.uniform(self.angle[0], self.angle[1]) * np.pi
+        return self._rotate(data_dict, _axis_rotation(self.axis, angle),
+                            self.keys, self.center)
+
+
+@register
+class RandomRotateTargetAngle(_RotateBase):
+    """Rotate by one of a fixed set of angles (reference :571-626)."""
+
+    def __init__(self, angle=(1 / 2, 1, 3 / 2), center=None, axis="z",
+                 always_apply=False, p=0.75, keys=()):
+        self.angle = angle
+        self.axis = axis
+        self.p = 1.0 if always_apply else p
+        self.center = center
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        if random.random() > self.p:
+            return data_dict
+        angle = np.random.choice(self.angle) * np.pi
+        return self._rotate(data_dict, _axis_rotation(self.axis, angle),
+                            self.keys, self.center)
+
+
+@register
+class RandomScale:
+    def __init__(self, scale=(0.95, 1.05), anisotropic=False, keys=()):
+        self.scale = scale
+        self.anisotropic = anisotropic
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        s = np.random.uniform(self.scale[0], self.scale[1],
+                              3 if self.anisotropic else 1)
+        data_dict["coord"] = data_dict["coord"] * s
+        S = np.eye(4)
+        S[:3, :3] = np.diag(np.broadcast_to(s, (3,)))
+        return _apply_world_transform(data_dict, np.linalg.inv(S), self.keys)
+
+
+@register
+class RandomFlip:
+    def __init__(self, p=0.5, keys=()):
+        self.p = p
+        self.keys = keys
+
+    def __call__(self, data_dict):
+        for axis in (0, 1):
+            if np.random.rand() < self.p:
+                data_dict["coord"][:, axis] = -data_dict["coord"][:, axis]
+                if "normal" in data_dict:
+                    data_dict["normal"][:, axis] = \
+                        -data_dict["normal"][:, axis]
+                S = np.eye(4)
+                S[axis, axis] = -1
+                _apply_world_transform(data_dict, np.linalg.inv(S),
+                                       self.keys)
+        return data_dict
+
+
+@register
+class RandomJitter:
+    """Gaussian coordinate jitter (reference :688-701)."""
+
+    def __init__(self, sigma=0.01, clip=0.05):
+        self.sigma = sigma
+        self.clip = clip
+
+    def __call__(self, data_dict):
+        j = np.clip(self.sigma * np.random.randn(
+            data_dict["coord"].shape[0], 3), -self.clip, self.clip)
+        data_dict["coord"] = data_dict["coord"] + j
+        return data_dict
+
+
+@register
+class ClipGaussianJitter:
+    def __init__(self, scalar=0.02):
+        self.scalar = scalar
+
+    def __call__(self, data_dict):
+        j = np.random.multivariate_normal(
+            np.zeros(3), np.eye(3), data_dict["coord"].shape[0])
+        data_dict["coord"] = data_dict["coord"] + \
+            self.scalar * np.clip(j / 3.0, -1, 1)
+        return data_dict
+
+
+@register
+class ChromaticAutoContrast:
+    """Blend toward per-cloud contrast-stretched colors
+    (reference :725-747)."""
+
+    def __init__(self, p=0.2, blend_factor=None):
+        self.p = p
+        self.blend_factor = blend_factor
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            color = data_dict["color"]
+            lo = np.min(color, axis=0, keepdims=True)
+            hi = np.max(color, axis=0, keepdims=True)
+            scale = 255 / np.maximum(hi - lo, 1e-6)
+            contrast = (color - lo) * scale
+            blend = self.blend_factor if self.blend_factor is not None \
+                else np.random.rand()
+            data_dict["color"] = (1 - blend) * color + blend * contrast
+        return data_dict
+
+
+@register
+class ChromaticTranslation:
+    def __init__(self, p=0.95, ratio=0.05):
+        self.p = p
+        self.ratio = ratio
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            tr = (np.random.rand(1, 3) - 0.5) * 255 * 2 * self.ratio
+            data_dict["color"] = np.clip(data_dict["color"] + tr, 0, 255)
+        return data_dict
+
+
+@register
+class ChromaticJitter:
+    def __init__(self, p=0.95, std=0.005):
+        self.p = p
+        self.std = std
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            noise = np.random.randn(data_dict["color"].shape[0], 3)
+            data_dict["color"] = np.clip(
+                data_dict["color"] + noise * self.std * 255, 0, 255)
+        return data_dict
+
+
+@register
+class RandomColorGrayScale:
+    def __init__(self, p=0.1):
+        self.p = p
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            gray = data_dict["color"] @ np.array([0.299, 0.587, 0.114])
+            data_dict["color"] = np.tile(gray[:, None], (1, 3))
+        return data_dict
+
+
+@register
+class RandomDropout:
+    def __init__(self, dropout_ratio=0.2, dropout_application_ratio=0.5):
+        self.dropout_ratio = dropout_ratio
+        self.p = dropout_application_ratio
+
+    def __call__(self, data_dict):
+        if np.random.rand() < self.p:
+            n = len(data_dict["coord"])
+            keep = np.random.choice(
+                n, int(n * (1 - self.dropout_ratio)), replace=False)
+            keep.sort()
+            for k in ("coord", "color", "normal", "segment", "instance"):
+                if k in data_dict:
+                    data_dict[k] = data_dict[k][keep]
+        return data_dict
+
+
+@register
+class SphereCrop:
+    """Keep the point_max nearest points around a (random/center) seed
+    (reference :1330+)."""
+
+    def __init__(self, point_max=80000, sample_rate=None, mode="random"):
+        self.point_max = point_max
+        self.sample_rate = sample_rate
+        self.mode = mode
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        n = len(coord)
+        point_max = (int(self.sample_rate * n)
+                     if self.sample_rate is not None else self.point_max)
+        if n <= point_max:
+            return data_dict
+        if self.mode == "random":
+            center = coord[np.random.randint(n)]
+        else:
+            center = coord.mean(axis=0)
+        idx = np.argsort(np.sum((coord - center) ** 2, axis=1))[:point_max]
+        idx.sort()
+        for k in ("coord", "color", "normal", "segment", "instance",
+                  "grid_coord"):
+            if k in data_dict:
+                data_dict[k] = data_dict[k][idx]
+        return data_dict
+
+
+@register
+class ElasticDistortion:
+    """Smoothed random displacement field (reference :1118+)."""
+
+    def __init__(self, distortion_params=((0.2, 0.4), (0.8, 1.6))):
+        self.params = distortion_params
+
+    def _distort(self, coords, granularity, magnitude):
+        blurx = np.ones((3, 1, 1, 1)) / 3
+        blury = np.ones((1, 3, 1, 1)) / 3
+        blurz = np.ones((1, 1, 3, 1)) / 3
+        coords_min = coords.min(0)
+        dims = ((coords - coords_min).max(0) // granularity).astype(int) + 3
+        noise = np.random.randn(*dims, 3).astype(np.float32)
+        from scipy.ndimage import convolve  # scipy ships with the image
+        for _ in range(2):
+            noise = convolve(noise, blurx, mode="constant", cval=0)
+            noise = convolve(noise, blury, mode="constant", cval=0)
+            noise = convolve(noise, blurz, mode="constant", cval=0)
+        ax = [np.linspace(d_min, d_max, d)
+              for d_min, d_max, d in zip(
+                  coords_min - granularity,
+                  coords_min + granularity * (np.array(dims) - 2), dims)]
+        from scipy.interpolate import RegularGridInterpolator
+        interp = RegularGridInterpolator(ax, noise, bounds_error=False,
+                                         fill_value=0)
+        return coords + interp(coords) * magnitude
+
+    def __call__(self, data_dict):
+        for granularity, magnitude in self.params:
+            data_dict["coord"] = self._distort(
+                data_dict["coord"], granularity, magnitude)
+        return data_dict
+
+
+def fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
+    """FNV64-1A vectorized hash of int coordinate rows (reference
+    GridSample.fnv_hash_vec)."""
+    assert arr.ndim == 2
+    arr = arr.copy().astype(np.uint64)
+    h = np.full(arr.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(arr.shape[1]):
+        h *= np.uint64(1099511628211)
+        h = np.bitwise_xor(h, arr[:, j])
+    return h
+
+
+def ravel_hash_vec(arr: np.ndarray) -> np.ndarray:
+    assert arr.ndim == 2
+    arr = arr.copy()
+    arr -= arr.min(0)
+    arr = arr.astype(np.uint64)
+    arr_max = arr.max(0).astype(np.uint64) + 1
+    h = np.zeros(arr.shape[0], dtype=np.uint64)
+    for j in range(arr.shape[1] - 1):
+        h += arr[:, j]
+        h *= arr_max[j + 1]
+    h += arr[:, -1]
+    return h
+
+
+@register
+class GridSample:
+    """Voxel dedup (reference :1179-1327): one random point per occupied
+    voxel (train) with fnv hashing; optionally emits grid_coord, inverse
+    and the shared min_coord."""
+
+    def __init__(self, grid_size=0.05, hash_type="fnv", mode="train",
+                 keys=("coord", "color", "normal", "segment"),
+                 return_inverse=False, return_grid_coord=False,
+                 return_min_coord=False, min_coord=None):
+        self.grid_size = grid_size
+        self.hash = fnv_hash_vec if hash_type == "fnv" else ravel_hash_vec
+        assert mode in ("train", "test")
+        self.mode = mode
+        self.keys = keys
+        self.return_inverse = return_inverse
+        self.return_grid_coord = return_grid_coord
+        self.return_min_coord = return_min_coord
+        self.min_coord = min_coord
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        if self.min_coord is not None:
+            min_coord = np.asarray(self.min_coord)
+            grid_coord = np.floor(
+                (coord - min_coord) / self.grid_size).astype(int)
+        else:
+            scaled = coord / self.grid_size
+            grid_coord = np.floor(scaled).astype(int)
+            gmin = grid_coord.min(0)
+            min_coord = gmin * self.grid_size
+            grid_coord = grid_coord - gmin
+        key = self.hash(grid_coord)
+        idx_sort = np.argsort(key)
+        key_sort = key[idx_sort]
+        _, inverse, count = np.unique(key_sort, return_inverse=True,
+                                      return_counts=True)
+        if self.mode == "train":
+            idx_select = (np.cumsum(np.insert(count, 0, 0)[:-1])
+                          + np.random.randint(0, count.max(),
+                                              count.size) % count)
+            idx_unique = idx_sort[idx_select]
+            if self.return_inverse:
+                inv = np.zeros_like(inverse)
+                inv[idx_sort] = inverse
+                data_dict["inverse"] = inv
+            if self.return_grid_coord:
+                data_dict["grid_coord"] = grid_coord[idx_unique]
+            if self.return_min_coord:
+                data_dict["min_coord"] = min_coord.reshape(3)
+            data_dict["min_coord"] = np.asarray(min_coord).reshape(3)
+            for k in self.keys:
+                if k in data_dict:
+                    data_dict[k] = data_dict[k][idx_unique]
+            return data_dict
+        # test mode: keep all, sorted by voxel
+        if self.return_grid_coord:
+            data_dict["grid_coord"] = grid_coord
+        data_dict["min_coord"] = np.asarray(min_coord).reshape(3)
+        return data_dict
+
+
+@register
+class FPS:
+    """Cap the cloud at max_points via farthest point sampling
+    (reference :404-477; host-side here, with the native C++ kernel when
+    built and a numpy fallback)."""
+
+    def __init__(self, max_points=80000):
+        self.max_points = max_points
+
+    def __call__(self, data_dict):
+        n = len(data_dict["coord"])
+        if n <= self.max_points:
+            return data_dict
+        from unipre3d_tpu.native import host_fps
+        idx = host_fps(np.ascontiguousarray(
+            data_dict["coord"], dtype=np.float32), self.max_points)
+        idx.sort()
+        for k in ("coord", "color", "normal", "segment", "instance",
+                  "grid_coord", "feat"):
+            if k in data_dict:
+                data_dict[k] = data_dict[k][idx]
+        return data_dict
