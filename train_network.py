@@ -94,10 +94,21 @@ def main():
     train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
     eval_step = jax.jit(eval_step)
 
+    # optional LPIPS perceptual-loss weights (reference lpips VGG,
+    # train_network.py:224-231); converted params via utils/lpips.py
+    lpips_params = None
+    lpips_path = cfg.opt.get("lpips_weights", "")
+    if lpips_path and os.path.exists(str(lpips_path)):
+        from unipre3d_tpu.utils.lpips import load_lpips_params
+        lpips_params = jax.device_put(load_lpips_params(str(lpips_path)))
+        print(f"[train] LPIPS weights loaded from {lpips_path}")
+
     logger = Logger(cfg, out_dir)
     iterations = int(cfg.opt.iterations)
     loss_log = int(cfg.logging.loss_log)
     val_log = int(cfg.logging.val_log)
+    loop_log = int(cfg.logging.get("loop_log", 2000))
+    test_loader = Loader(get_dataset(cfg, "test"), 1, shuffle=False)
 
     it = int(state.step)
     t_last = time.time()
@@ -105,7 +116,7 @@ def main():
     data_iter = iter(train_loader)
     for it in range(int(state.step) + 1, iterations + 1):
         batch = shard_batch(next(data_iter), mesh)
-        state, metrics = train_step(state, batch)
+        state, metrics = train_step(state, batch, lpips_params)
         imgs_since += batch_size
         if it % loss_log == 0:
             jax.block_until_ready(metrics["loss"])
@@ -129,6 +140,17 @@ def main():
                     ckpt_lib.save_checkpoint(
                         os.path.join(out_dir, "model_best.ckpt"), state,
                         best_psnr)
+        if it % loop_log == 0 and jax.process_index() == 0:
+            # rotating-view test videos (reference
+            # generate_test_examples, train_network.py:497-556)
+            from unipre3d_tpu.training.video import generate_test_examples
+            try:
+                paths = generate_test_examples(
+                    model, state, cfg, test_loader, out_dir, it,
+                    int(cfg.opt.get("test_generation_num", 1)))
+                logger.log(it, {"videos": ";".join(paths)}, prefix="video")
+            except Exception as e:
+                print(f"[train] video generation failed: {e}")
     logger.close()
     print(f"[train] done at iteration {it}; best PSNR_novel={best_psnr:.3f}")
 

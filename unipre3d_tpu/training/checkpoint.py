@@ -30,6 +30,9 @@ def save_checkpoint(path: str, state, best_psnr: float = 0.0) -> None:
         "rng": np.asarray(state.rng),
         "best_psnr": np.asarray(best_psnr),
     }
+    # to_state_dict flattens optax NamedTuple states into plain dicts
+    # msgpack can serialize
+    payload = flax.serialization.to_state_dict(payload)
     data = flax.serialization.msgpack_serialize(
         jax.tree_util.tree_map(np.asarray, payload))
     tmp = path + ".tmp"

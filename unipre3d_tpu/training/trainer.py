@@ -189,8 +189,10 @@ def make_train_step(cfg, model, tx):
     use_ema = bool(ema_cfg.use)
 
     level = cfg.opt.level
+    lambda_lpips = float(cfg.opt.get("lambda_lpips", 0.01))
+    start_lpips_after = int(cfg.opt.get("start_lpips_after", 0))
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, step, lpips_params):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -208,13 +210,30 @@ def make_train_step(cfg, model, tx):
         rendered = render_supervision_views(gaussians, batch, cfg, bg_color)
         gt = batch["gt_images"][:, n_in:]
         loss, metrics = compute_loss(rendered, gt, cfg, bg_color)
+        if lpips_params is not None and lambda_lpips != 0.0:
+            # reference gates LPIPS on iteration > start_lpips_after
+            # (train_network.py:288-296); lax.cond skips the VGG when off
+            from unipre3d_tpu.utils.lpips import lpips_fn
+            B, V = rendered.shape[:2]
+            r = rendered.reshape(B * V, *rendered.shape[2:])
+            g = gt.reshape(B * V, *gt.shape[2:])
+            lp = jax.lax.cond(
+                step > start_lpips_after,
+                lambda a, b: jnp.mean(lpips_fn(lpips_params,
+                                               a * 2 - 1, b * 2 - 1)),
+                lambda a, b: jnp.float32(0.0), r, g)
+            loss = loss + lambda_lpips * lp
+            metrics = dict(metrics)
+            metrics["lpips"] = lp
+            metrics["loss"] = loss
         return loss, (metrics, new_stats)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, lpips_params=None):
         rng, step_rng = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, step_rng)
+            state.params, state.batch_stats, batch, step_rng, state.step,
+            lpips_params)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
