@@ -118,20 +118,13 @@ def rasterize_projected(pg: ProjectedGaussians, bg_color: jnp.ndarray,
            ((gy - r)[None, :] <= (tile_y0 + tile_h - 1)[:, None])
     overlap = ov_x & ov_y & pg.valid[None, :]
 
-    # stable compaction: depth-ordered overlapping indices first.
-    # cumsum + scatter is O(T*N) vs the O(T*N log N) per-tile argsort;
-    # slots beyond capacity drop the farthest gaussians.
-    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1   # [T, N]
-    write = overlap & (pos < K)
-    col = jnp.where(write, pos, K)                             # K = dump col
+    # stable compaction: depth-ordered overlapping indices first
     iota = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 0)
-    cand_full = jnp.full((n_tiles, K + 1), 0, jnp.int32).at[
-        t_idx, col].set(iota, mode="drop")
-    slot_full = jnp.zeros((n_tiles, K + 1), bool).at[
-        t_idx, col].set(write, mode="drop")
-    cand = cand_full[:, :K]
-    slot_ok = slot_full[:, :K]
+    key = jnp.where(overlap, iota, N + iota)
+    cand = jnp.argsort(key, axis=1)[:, :K].astype(jnp.int32)  # [n_tiles, K]
+    count = jnp.sum(overlap, axis=1).astype(jnp.int32)
+    slot_ok = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) < \
+        jnp.minimum(count, K)[:, None]
 
     # gather per-tile gaussian params
     g_mean2d = jnp.take(pg.mean2d, cand, axis=0)    # [T, K, 2]
