@@ -61,7 +61,7 @@ def bench_train_step(small: bool):
     return batch_size * iters / dt / n_chips
 
 
-def bench_splat(small: bool):
+def bench_splat(small: bool, impl: str = "xla"):
     from unipre3d_tpu.ops.rasterizer import rasterize
 
     n = 4096 if small else 100_000
@@ -84,7 +84,8 @@ def bench_splat(small: bool):
     def fwd_loss(m, o, s, r, sh):
         out = rasterize(m, o, s, r, sh, wv, fp, cc, img_h=res, img_w=res,
                         tanfovx=math.tan(fov / 2), tanfovy=math.tan(fov / 2),
-                        bg_color=jnp.zeros(3), sh_degree=1, capacity=1024)
+                        bg_color=jnp.zeros(3), sh_degree=1, capacity=1024,
+                        impl=impl)
         return jnp.sum(out["render"])
 
     fwdbwd = jax.jit(jax.grad(fwd_loss, argnums=(0, 1, 2, 3, 4)))
@@ -103,6 +104,13 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
     sps = bench_train_step(small)
     splat_ms = bench_splat(small)
+    # the Pallas duplicate-sort-stream kernel (CUDA-parity structure)
+    splat_pallas_ms = None
+    if platform != "cpu":
+        try:
+            splat_pallas_ms = round(bench_splat(small, "pallas_binned"), 3)
+        except Exception as e:
+            print(f"[bench] pallas splat failed: {e}", file=sys.stderr)
     result = {
         "metric": "pretrain_samples_per_sec_per_chip",
         "value": round(sps, 3),
@@ -110,6 +118,7 @@ def main():
         "vs_baseline": None,
         "extra": {
             "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
+            "splat_fwd_bwd_ms_100k_pallas": splat_pallas_ms,
             "platform": platform,
             "small_mode": small,
         },

@@ -1,0 +1,453 @@
+"""Binned Pallas TPU splat kernel — the CUDA-parity fast path.
+
+Mirrors the reference CUDA rasterizer's structure
+(diff_gaussian_rasterization: duplicateWithKeys -> radix sort by
+(tile, depth) -> per-tile ranges -> per-tile front-to-back render):
+
+1. XLA prep: depth-sort all gaussians once; emit up to CAP=16 duplicate
+   slots per gaussian (its 4x4 clamped tile span); ONE flat sort of
+   ``tile*2^20 + depth_rank`` keys; per-tile segment offsets via
+   searchsorted; gather the packed [16, M] gaussian table in duplicate
+   order (HBM-resident).
+2. Forward kernel: grid (n_tiles, MAXC). The scalar-prefetched segment
+   offsets drive the data BlockSpec index map, so each tile streams
+   exactly its own chunk blocks from HBM (Mosaic double-buffers the
+   DMAs). Per-pixel transmittance carried in VMEM scratch across the
+   chunk axis; early-exit once every pixel saturates.
+3. Backward kernel: grid (n_tiles, 2*MAXC) — phase A re-walks the tile
+   forward accumulating per-block entry transmittances and the total
+   color-dot-cotangent mass; phase B re-walks forward again emitting
+   analytic gradients (suffix = total - inclusive prefix), accumulated
+   into an input-output-aliased [16, M] table, then scatter-added back
+   to per-gaussian gradients in XLA.
+
+Work is O(total duplicates) instead of v1's O(tiles x N): the same
+asymptotics as the CUDA kernel. Truncation beyond MAXC chunks per tile
+drops the FARTHEST duplicates (depth-sorted segments), mirroring the
+XLA path's capacity semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unipre3d_tpu.ops.rasterizer.pallas_splat import (
+    ALPHA_MAX, ALPHA_MIN, LOG_T_EPS, ROWS, _cumsum_lanes, _pack,
+    _tile_pixels)
+
+CHUNK = 512
+CAP_SPAN = 2                 # max 2x2 tile span per gaussian
+CAP = CAP_SPAN * CAP_SPAN
+RANK_BITS = 20               # up to 2^20 gaussians
+INVALID_KEY = np.uint32(0xFFFFFFFF)
+
+
+def _alpha_masked(g, px, py, in_seg):
+    dx = g[0, :][None, :] - px
+    dy = g[1, :][None, :] - py
+    power = (-0.5 * (g[2, :][None, :] * dx * dx
+                     + g[4, :][None, :] * dy * dy)
+             - g[3, :][None, :] * dx * dy)
+    a = jnp.minimum(ALPHA_MAX, g[5, :][None, :] * jnp.exp(power))
+    skip = (power > 0.0) | (a < ALPHA_MIN) | jnp.logical_not(in_seg)
+    alpha = jnp.where(skip, 0.0, a)
+    return alpha, jnp.log1p(-alpha), dx, dy, power, skip
+
+
+def _blk_index(i, j, seg_ref, n_blocks_total):
+    start = seg_ref[i]
+    end = seg_ref[i + 1]
+    first_blk = start // CHUNK
+    last_blk = jnp.maximum(first_blk, (jnp.maximum(end, 1) - 1) // CHUNK)
+    return jnp.minimum(jnp.minimum(first_blk + j, last_blk),
+                       n_blocks_total - 1)
+
+
+def _fwd_kernel(seg_ref, data_ref, bg_ref, out_ref, logt_ref,
+                rgb_s, logt_s, *, maxc, tx, tile_h, tile_w,
+                n_blocks_total):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    P = tile_h * tile_w
+    px, py = _tile_pixels(i, tx, tile_h, tile_w)
+
+    @pl.when(j == 0)
+    def _():
+        rgb_s[:] = jnp.zeros_like(rgb_s)
+        logt_s[:] = jnp.zeros_like(logt_s)
+
+    start = seg_ref[i]
+    end = seg_ref[i + 1]
+    blk = _blk_index(i, j, seg_ref, n_blocks_total)
+    in_range = (start // CHUNK + j) * CHUNK < end
+    live = jnp.max(logt_s[:]) >= LOG_T_EPS
+
+    @pl.when(in_range & live)
+    def _():
+        g = data_ref[:, :]                              # [16, C]
+        col = blk * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)
+        in_seg = (col >= start) & (col < end)           # [1, C]
+        alpha, log1m, *_ = _alpha_masked(g, px, py, in_seg)
+        logT = logt_s[:]                                # [1, P]
+        cum = _cumsum_lanes(log1m) + jnp.transpose(logT)
+        contrib = cum >= LOG_T_EPS
+        t_before = jnp.exp(cum - log1m)
+        w = jnp.where(contrib, alpha * t_before, 0.0)
+        rgb_s[:] += jax.lax.dot_general(
+            g[6:9, :], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logt_s[:] = logT + jnp.sum(
+            jnp.where(contrib, log1m, 0.0), axis=1)[None, :]
+
+    @pl.when(j == maxc - 1)
+    def _():
+        out_ref[0] = rgb_s[:] + bg_ref[:, :] * jnp.exp(logt_s[:])
+        logt_ref[0] = logt_s[:]
+
+
+def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, gout_ref,
+                dgrad_ref, blkt_s, tot_s, pref_s,
+                *, maxc, tx, tile_h, tile_w, n_blocks_total):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    P = tile_h * tile_w
+    px, py = _tile_pixels(i, tx, tile_h, tile_w)
+    phase_b = j >= maxc
+    jj = jnp.where(phase_b, j - maxc, j)
+
+    @pl.when(j == 0)
+    def _():
+        blkt_s[:] = jnp.zeros_like(blkt_s)
+        tot_s[:] = jnp.zeros_like(tot_s)
+        pref_s[:] = jnp.zeros_like(pref_s)
+
+    start = seg_ref[i]
+    end = seg_ref[i + 1]
+    blk = _blk_index(i, jj, seg_ref, n_blocks_total)
+    in_range = (start // CHUNK + jj) * CHUNK < end
+    g_pix = gout_ref[0]                                 # [3, P]
+
+    # every real grad block is written exactly once (by its in-range
+    # phase-B program; segments are CHUNK-aligned so blocks are never
+    # shared between tiles); all other programs are routed to the dump
+    # block and write zeros so no garbage is flushed.
+    dgrad_ref[:, :] = jnp.zeros_like(dgrad_ref)
+
+    @pl.when(in_range & jnp.logical_not(phase_b))
+    def _():
+        # phase A: record block-entry logT, accumulate total u
+        g = data_ref[:, :]
+        col = blk * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)
+        in_seg = (col >= start) & (col < end)
+        alpha, log1m, *_ = _alpha_masked(g, px, py, in_seg)
+        logT = pref_s[:]
+        blkt_s[pl.ds(jj, 1), :] = logT
+        cum = _cumsum_lanes(log1m) + jnp.transpose(logT)
+        contrib = cum >= LOG_T_EPS
+        t_before = jnp.exp(cum - log1m)
+        w = jnp.where(contrib, alpha * t_before, 0.0)
+        cg = jax.lax.dot_general(
+            g_pix, g[6:9, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [P, C]
+        tot_s[:] += jnp.sum(w * cg, axis=1)[None, :]
+        pref_s[:] = logT + jnp.sum(
+            jnp.where(contrib, log1m, 0.0), axis=1)[None, :]
+
+    @pl.when(in_range & phase_b)
+    def _():
+        g = data_ref[:, :]
+        col = blk * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)
+        in_seg = (col >= start) & (col < end)
+        alpha, log1m, dx, dy, power, skip = _alpha_masked(
+            g, px, py, in_seg)
+        logT = blkt_s[pl.ds(jj, 1), :]                  # [1, P]
+        cum = _cumsum_lanes(log1m) + jnp.transpose(logT)
+        contrib = cum >= LOG_T_EPS
+        t_before = jnp.exp(cum - log1m)
+        w = jnp.where(contrib, alpha * t_before, 0.0)
+        cg = jax.lax.dot_general(
+            g_pix, g[6:9, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u = w * cg
+
+        @pl.when(jj == 0)
+        def _():
+            # reset the running inclusive-prefix accumulator for phase B
+            pref_s[:] = jnp.zeros_like(pref_s)
+
+        prefix_in = pref_s[:]                           # [1, P]
+        incl = _cumsum_lanes(u) + jnp.transpose(prefix_in)  # [P, C]
+        pref_s[:] = prefix_in + jnp.sum(u, axis=1)[None, :]
+
+        # s_i = total - inclusive prefix; tb = T_final * (bg . g)
+        s_i = jnp.transpose(tot_s[:]) - incl            # [P, C]
+        bgdotg = jnp.sum(bg_ref[:, :] * g_pix, axis=0)[None, :]  # [1, P]
+        tb = jnp.exp(logt_ref[0]) * bgdotg              # [1, P]
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        dalpha = jnp.where(
+            contrib,
+            cg * t_before - (s_i + jnp.transpose(tb)) / one_m, 0.0)
+        dcol = jax.lax.dot_general(
+            g_pix, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [3, C]
+        live_g = jnp.logical_not(skip) & (alpha < ALPHA_MAX)
+        da_dopa = jnp.where(live_g, jnp.exp(power), 0.0)
+        dpow = dalpha * jnp.where(live_g, alpha, 0.0)
+        d_mx = jnp.sum(
+            dpow * (-(g[2, :][None, :] * dx + g[3, :][None, :] * dy)),
+            axis=0)
+        d_my = jnp.sum(
+            dpow * (-(g[4, :][None, :] * dy + g[3, :][None, :] * dx)),
+            axis=0)
+        d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0)
+        d_cb = jnp.sum(dpow * (-dx * dy), axis=0)
+        d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0)
+        d_opa = jnp.sum(dalpha * da_dopa, axis=0)
+        zrow = jnp.zeros((CHUNK,), jnp.float32)
+        dgrad_ref[:, :] = jnp.stack(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_opa,
+             dcol[0], dcol[1], dcol[2]] + [zrow] * (ROWS - 9), axis=0)
+
+
+def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
+                     img_h, img_w, tile_h, tile_w):
+    """Duplicate-and-sort (XLA side), with every tile segment padded to
+    a CHUNK boundary so no data/gradient block is shared between tiles.
+
+    ONE multi-key sort by (tile, view depth) orders the duplicates —
+    no global depth argsort of the gaussian arrays is needed (the
+    reference CUDA rasterizer's duplicateWithKeys + radix sort). The
+    emission->layout map ``pos`` comes from scattering the sort
+    permutation (no searchsorted inverse).
+
+    Returns (data_dup [16, M_pad], pos [CAP, N] layout slot per
+    gaussian-duplicate (M_pad = invalid), seg [n_tiles+1] aligned)."""
+    N = mean2d.shape[0]
+    ty, tx = img_h // tile_h, img_w // tile_w
+    n_tiles = ty * tx
+    r = radius.astype(jnp.float32)
+    gx, gy = mean2d[:, 0], mean2d[:, 1]
+    tx0 = jnp.clip(jnp.floor((gx - r) / tile_w).astype(jnp.int32), 0, tx - 1)
+    tx1 = jnp.clip(jnp.floor((gx + r) / tile_w).astype(jnp.int32), 0, tx - 1)
+    ty0 = jnp.clip(jnp.floor((gy - r) / tile_h).astype(jnp.int32), 0, ty - 1)
+    ty1 = jnp.clip(jnp.floor((gy + r) / tile_h).astype(jnp.int32), 0, ty - 1)
+    tx1 = jnp.minimum(tx1, tx0 + CAP_SPAN - 1)
+    ty1 = jnp.minimum(ty1, ty0 + CAP_SPAN - 1)
+
+    tkeys = []
+    for k in range(CAP):
+        ddx, ddy = k % CAP_SPAN, k // CAP_SPAN
+        t_x = tx0 + ddx
+        t_y = ty0 + ddy
+        ok = valid & (t_x <= tx1) & (t_y <= ty1)
+        tile_id = (t_y * tx + t_x).astype(jnp.uint32)
+        tkeys.append(jnp.where(ok, tile_id, INVALID_KEY))
+    tkeys = jnp.concatenate(tkeys)                      # [M]
+    M = N * CAP
+    slots = jnp.arange(M, dtype=jnp.int32)
+    depth_b = jnp.tile(depth.astype(jnp.float32), CAP)
+    tkeys_s, _, slots_s = jax.lax.sort(
+        (tkeys, depth_b, slots), num_keys=2)
+    dup_ok = tkeys_s != INVALID_KEY
+
+    # raw per-tile offsets, then re-layout with CHUNK-aligned segments
+    # (counting compare-sum: XLA's searchsorted lowers to a slow
+    # gather loop on TPU)
+    seg_raw = jnp.sum(
+        tkeys_s[:, None] < jnp.arange(n_tiles + 1,
+                                      dtype=jnp.uint32)[None, :],
+        axis=0, dtype=jnp.int32)
+    counts = seg_raw[1:] - seg_raw[:-1]
+    aligned = -(-counts // CHUNK) * CHUNK
+    seg = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)])
+    M_pad = M + n_tiles * CHUNK  # static upper bound for the re-layout
+
+    slot_tile = jnp.clip(tkeys_s.astype(jnp.int32), 0, n_tiles - 1)
+    pos_in_tile = jnp.arange(M) - jnp.take(seg_raw, slot_tile)
+    new_pos = jnp.take(seg, slot_tile) + pos_in_tile
+    new_pos = jnp.where(dup_ok, new_pos, M_pad)  # invalid -> dump slot
+
+    gauss_s = slots_s % N
+    dup_idx = jnp.full((M_pad + 1,), -1, jnp.int32).at[new_pos].set(
+        jnp.where(dup_ok, gauss_s, -1), mode="drop")[:M_pad]
+
+    # emission -> layout slot map via the sort permutation (scatter)
+    pos = jnp.full((M,), M_pad, jnp.int32).at[slots_s].set(new_pos)
+    pos = pos.reshape(CAP, N)
+
+    data = _pack(mean2d, conic, color,
+                 jnp.where(valid, opacity, 0.0), N)
+    safe = jnp.clip(dup_idx, 0, N - 1)
+    data_dup = jnp.take(data, safe, axis=1)
+    data_dup = jnp.where((dup_idx >= 0)[None, :], data_dup, 0.0)
+    return data_dup, pos, seg
+
+
+def _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w, tile_h, tile_w,
+                     maxc):
+    ty, tx = img_h // tile_h, img_w // tile_w
+    n_tiles = ty * tx
+    P = tile_h * tile_w
+    n_blocks_total = data_dup.shape[1] // CHUNK
+    kern = functools.partial(_fwd_kernel, maxc=maxc, tx=tx, tile_h=tile_h,
+                             tile_w=tile_w, n_blocks_total=n_blocks_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, maxc),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, CHUNK),
+                lambda i, j, seg_ref: (
+                    0, _blk_index(i, j, seg_ref, n_blocks_total)),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, P), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    out, logt = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(seg, data_dup, bg)
+    return out, logt
+
+
+def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
+                    tile_h, tile_w, maxc):
+    """Run the backward kernel -> dgrad_dup [16, M_pad]."""
+    ty, tx = img_h // tile_h, img_w // tile_w
+    n_tiles = ty * tx
+    P = tile_h * tile_w
+    n_blocks_total = data_dup.shape[1] // CHUNK
+    kern = functools.partial(_bwd_kernel, maxc=maxc, tx=tx, tile_h=tile_h,
+                             tile_w=tile_w, n_blocks_total=n_blocks_total)
+
+    def blk_map(i, j, seg_ref):
+        jj = jnp.where(j >= maxc, j - maxc, j)
+        return (0, _blk_index(i, jj, seg_ref, n_blocks_total))
+
+    def out_blk_map(i, j, seg_ref):
+        # real block only for the in-range phase-B program; everything
+        # else (phase A, clamped tails, empty tiles) -> dump block
+        jj = j - maxc
+        start = seg_ref[i]
+        end = seg_ref[i + 1]
+        in_range = (j >= maxc) & ((start // CHUNK + jj) * CHUNK < end)
+        blk = _blk_index(i, jnp.maximum(jj, 0), seg_ref, n_blocks_total)
+        # dump block = the extra trailing block of the output array
+        return (0, jnp.where(in_range, blk, n_blocks_total))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 2 * maxc),
+        in_specs=[
+            pl.BlockSpec((ROWS, CHUNK), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, CHUNK), out_blk_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((maxc, P), jnp.float32),   # per-block entry logT
+            pltpu.VMEM((1, P), jnp.float32),      # total u
+            pltpu.VMEM((1, P), jnp.float32),      # running prefix
+        ],
+    )
+    dgrad_dup = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ROWS, data_dup.shape[1] + CHUNK), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(seg, data_dup, bg, logt, g_out)[:, :data_dup.shape[1]]
+
+    return dgrad_dup
+
+
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _binned(mean2d, conic, color, opacity, depth, radius, valid, bg,
+            img_h, img_w, tile_h, tile_w, maxc):
+    return _binned_fwd(mean2d, conic, color, opacity, depth, radius,
+                       valid, bg, img_h, img_w, tile_h, tile_w, maxc)[0]
+
+
+def _binned_fwd(mean2d, conic, color, opacity, depth, radius, valid, bg,
+                img_h, img_w, tile_h, tile_w, maxc):
+    data_dup, pos, seg = _prep_duplicates(
+        mean2d, conic, color, opacity, depth, radius, valid,
+        img_h, img_w, tile_h, tile_w)
+    tiles, logt = _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w,
+                                   tile_h, tile_w, maxc)
+    return tiles, (data_dup, pos, seg, bg, logt)
+
+
+def _binned_bwd(img_h, img_w, tile_h, tile_w, maxc, res, g_tiles):
+    data_dup, pos, seg, bg, logt = res
+    dd = _run_bwd_kernel(data_dup, seg, bg, logt, g_tiles,
+                         img_h, img_w, tile_h, tile_w, maxc)
+    # per-gaussian grads: CAP gathers through the emission->slot map
+    # (the dump slot M_pad indexes a zero column)
+    dd = jnp.pad(dd, ((0, 0), (0, 1)))
+    dG = 0.0
+    for k in range(CAP):
+        dG = dG + jnp.take(dd, pos[k], axis=1)          # [16, N]
+    d_mean = jnp.stack([dG[0], dG[1]], axis=1)
+    d_conic = jnp.stack([dG[2], dG[3], dG[4]], axis=1)
+    d_color = jnp.stack([dG[6], dG[7], dG[8]], axis=1)
+    d_opa = dG[5]
+    T_fin = jnp.exp(logt[:, 0, :])
+    dbg = jnp.einsum("tp,tcp->c", T_fin, g_tiles).reshape(3, 1)
+    return d_mean, d_conic, d_color, d_opa, None, None, None, dbg
+
+
+_binned.defvjp(_binned_fwd, _binned_bwd)
+
+
+def rasterize_projected_pallas_binned(pg, bg_color, img_h: int,
+                                      img_w: int, tile_h: int = 16,
+                                      tile_w: int = 16,
+                                      max_per_tile: int = 16384
+                                      ) -> jnp.ndarray:
+    """Binned Pallas rasterizer (duplicate-sort-stream). ``max_per_tile``
+    caps the composited duplicates per tile (farthest dropped)."""
+    assert img_h % tile_h == 0 and img_w % tile_w == 0
+    maxc = -(-max_per_tile // CHUNK)
+    bg = jnp.asarray(bg_color, jnp.float32).reshape(3, 1)
+    tiles = _binned(pg.mean2d, pg.conic, pg.color,
+                    jnp.where(pg.valid, pg.opacity, 0.0),
+                    jax.lax.stop_gradient(pg.depth), pg.radius, pg.valid,
+                    bg, img_h, img_w, tile_h, tile_w, maxc)
+    ty, tx = img_h // tile_h, img_w // tile_w
+    img = tiles.reshape(ty, tx, 3, tile_h, tile_w)
+    return img.transpose(2, 0, 3, 1, 4).reshape(3, img_h, img_w)

@@ -49,6 +49,22 @@ def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _rot_columns(rotations: jnp.ndarray):
+    """Columns r_k of the rotation matrix from wxyz quaternions, as three
+    [N, 3] arrays — explicit elementwise formulas (batched [N,3,3]
+    einsums lower terribly on the MXU; the CUDA reference scalarizes the
+    covariance math the same way, forward.cu computeCov3D/2D)."""
+    w, x, y, z = (rotations[:, 0], rotations[:, 1], rotations[:, 2],
+                  rotations[:, 3])
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y + w * z),
+                    2 * (x * z - w * y)], axis=1)
+    r1 = jnp.stack([2 * (x * y - w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z + w * x)], axis=1)
+    r2 = jnp.stack([2 * (x * z + w * y), 2 * (y * z - w * x),
+                    1 - 2 * (x * x + y * y)], axis=1)
+    return r0, r1, r2
+
+
 def preprocess_gaussians(
     means3d: jnp.ndarray,        # [N, 3] world positions
     opacities: jnp.ndarray,      # [N] or [N, 1]
@@ -86,8 +102,10 @@ def preprocess_gaussians(
                         ndc2pix(p_ndc[:, 1], img_h)], axis=1)
 
     # --- EWA: project 3D covariance to screen space ---
-    cov3d = compute_cov3d(scales.astype(f32), rotations.astype(f32),
-                          scale_modifier)
+    # Explicit elementwise expansion of J W (R S^2 R^T) W^T J^T: with
+    # a1 = row 0 of (J W), a2 = row 1, and r_k the rotation columns,
+    # c_ab = sum_k s_k^2 (r_k . a_a)(r_k . a_b). Batched [N,3,3]
+    # einsums are ~10x slower on TPU (tiny matmuls on the 128x128 MXU).
     focal_x = img_w / (2.0 * tanfovx)
     focal_y = img_h / (2.0 * tanfovy)
 
@@ -98,24 +116,29 @@ def preprocess_gaussians(
     tx = txtz * tz
     ty = tytz * tz
 
-    # J: 2x3 Jacobian of (x, y) pixel-plane projection at t (per gaussian)
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([focal_x / tz, zero, -focal_x * tx / (tz * tz)], axis=-1),
-        jnp.stack([zero, focal_y / tz, -focal_y * ty / (tz * tz)], axis=-1),
-    ], axis=-2)  # [N, 2, 3]
-
     # world->view rotation in math (column-vector) convention: the stored
     # matrix is transposed, so rows of world_view[:3,:3] ARE R_wc columns;
     # v_view = v_world @ WV[:3,:3]  =>  R_wc = WV[:3,:3]^T
-    R_wc = world_view[:3, :3].astype(f32).T
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R_wc, cov3d, R_wc, precision=hp)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J,
-                       precision=hp)  # [N, 2, 2]
+    W = world_view[:3, :3].astype(f32).T  # R_wc, [3, 3] constants
+    j00 = focal_x / tz
+    j02 = -focal_x * tx / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -focal_y * ty / (tz * tz)
+    # a1[j] = j00 * W[0, j] + j02 * W[2, j];  a2[j] = j11 W[1,j] + j12 W[2,j]
+    a1 = [j00 * W[0, j] + j02 * W[2, j] for j in range(3)]  # 3 x [N]
+    a2 = [j11 * W[1, j] + j12 * W[2, j] for j in range(3)]
 
-    c_xx = cov2d[:, 0, 0]
-    c_xy = cov2d[:, 0, 1]
-    c_yy = cov2d[:, 1, 1]
+    r0, r1, r2 = _rot_columns(rotations.astype(f32))
+    s2 = (scales.astype(f32) * scale_modifier) ** 2  # [N, 3]
+    c_xx = jnp.zeros_like(tz)
+    c_xy = jnp.zeros_like(tz)
+    c_yy = jnp.zeros_like(tz)
+    for k, rk in enumerate((r0, r1, r2)):
+        u = rk[:, 0] * a1[0] + rk[:, 1] * a1[1] + rk[:, 2] * a1[2]
+        v = rk[:, 0] * a2[0] + rk[:, 1] * a2[1] + rk[:, 2] * a2[2]
+        c_xx = c_xx + s2[:, k] * u * u
+        c_xy = c_xy + s2[:, k] * u * v
+        c_yy = c_yy + s2[:, k] * v * v
     det_orig = c_xx * c_yy - c_xy * c_xy
     # low-pass: every splat is at least ~1px wide (reference adds 0.3)
     c_xx = c_xx + AA_BLUR

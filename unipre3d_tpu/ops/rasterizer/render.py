@@ -176,8 +176,14 @@ def rasterize(means3d, opacities, scales, rotations, shs,
               bg_color, sh_degree: int, scale_modifier: float = 1.0,
               antialiasing: bool = True, gaussian_mask=None,
               tile_h: int = 16, tile_w: int = 16,
-              capacity: int = 1024) -> Dict[str, jnp.ndarray]:
+              capacity: int = 1024,
+              impl: str = "xla") -> Dict[str, jnp.ndarray]:
     """Full forward: preprocess + tiled rasterization of one view.
+
+    ``impl``: "xla" (vmapped gather/compositing — best at small N),
+    "pallas_binned" (duplicate-sort-stream Pallas kernel with analytic
+    VJP — fastest at 100k+ gaussians), or "pallas" (streaming kernel
+    with chunk-skip bitmap, no binning).
 
     Returns {"render" [3,H,W], "radii" [N], "visibility_filter" [N]}
     mirroring reference gaussian_renderer/__init__.py:101-104.
@@ -186,8 +192,20 @@ def rasterize(means3d, opacities, scales, rotations, shs,
         means3d, opacities, scales, rotations, shs, world_view, full_proj,
         cam_center, img_h, img_w, tanfovx, tanfovy, sh_degree,
         scale_modifier, antialiasing, gaussian_mask)
-    img = rasterize_projected(pg, bg_color, img_h, img_w, tile_h, tile_w,
-                              capacity)
+    if impl == "pallas_binned":
+        from unipre3d_tpu.ops.rasterizer.pallas_splat_binned import \
+            rasterize_projected_pallas_binned
+        img = rasterize_projected_pallas_binned(
+            pg, bg_color, img_h, img_w, tile_h, tile_w,
+            max_per_tile=capacity * 4)
+    elif impl == "pallas":
+        from unipre3d_tpu.ops.rasterizer.pallas_splat import \
+            rasterize_projected_pallas
+        img = rasterize_projected_pallas(pg, bg_color, img_h, img_w,
+                                         tile_h, tile_w)
+    else:
+        img = rasterize_projected(pg, bg_color, img_h, img_w, tile_h,
+                                  tile_w, capacity)
     return {"render": img, "radii": pg.radius, "visibility_filter": pg.radius > 0}
 
 
