@@ -1,31 +1,47 @@
-"""Device mesh + sharding helpers (TPU-native data parallelism).
+"""Device mesh + sharding helpers (TPU-native data/tensor parallelism).
 
 The reference's only parallelism is single-node DDP over NCCL
 (reference pointcept/engines/launch.py:36-157, SURVEY.md §2.9). The
-TPU-native equivalent is a 1-D ``data`` mesh: the train step is jitted
-with batch inputs sharded over the ``data`` axis and parameters
-replicated; XLA inserts the gradient all-reduce over ICI, and BatchNorm
-statistics are computed on the global batch (SyncBatchNorm for free).
-Multi-host execution shards the input pipeline per host
+TPU-native baseline is a 1-D ``data`` mesh: batch inputs sharded over
+``data``, parameters replicated; XLA inserts the gradient all-reduce
+over ICI and BatchNorm statistics become global (SyncBatchNorm for
+free). Multi-host execution shards the input pipeline per host
 (Loader shard_id/num_shards) and relies on jax.distributed for DCN.
+
+Beyond the reference, a 2-D ``(data, model)`` mesh adds tensor
+parallelism for the transformer-family backbones: attention qkv / MLP
+fc1 kernels are sharded column-wise and proj / fc2 row-wise
+(Megatron-style), so each block needs exactly one all-reduce over the
+``model`` axis, inserted automatically by GSPMD from the parameter
+shardings — no model-code changes.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+import re
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices
-    (all by default)."""
+def make_mesh(num_devices: Optional[int] = None,
+              model_parallel: int = 1) -> Mesh:
+    """Mesh over the first ``num_devices`` devices (all by default).
+
+    ``model_parallel`` > 1 folds the devices into a
+    (data, model) grid; the default is the pure data-parallel 1-D mesh.
+    """
     devs = jax.devices()
     if num_devices is not None and num_devices > 0:
         devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), axis_names=("data",))
+    n = len(devs)
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devs), axis_names=("data",))
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -43,6 +59,37 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+# Megatron-style TP rules for the transformer-family params: matched
+# against the flattened parameter path (works at any nesting depth —
+# optimizer/EMA copies carry the same path suffixes).
+TP_RULES: Sequence[Tuple[str, P]] = (
+    (r"attn/qkv/kernel$", P(None, "model")),     # column parallel
+    (r"attn/qkv/bias$", P("model")),
+    (r"attn/proj/kernel$", P("model", None)),    # row parallel
+    (r"mlp/fc1/kernel$", P(None, "model")),
+    (r"mlp/fc1/bias$", P("model")),
+    (r"mlp/fc2/kernel$", P("model", None)),
+    (r"mixer/in_proj/kernel$", P(None, "model")),   # mamba d_inner split
+    (r"mixer/out_proj/kernel$", P("model", None)),
+)
+
+
+def _spec_for(path: str, ndim: int, mesh: Mesh) -> P:
+    if "model" not in mesh.axis_names:
+        return P()
+    for pat, spec in TP_RULES:
+        if re.search(pat, path) and len(spec) <= ndim:
+            return spec
+    return P()
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    s = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    """Shard a state pytree onto the mesh: TP rules where they match
+    (2-D mesh only), replicated otherwise."""
+    def put(path, x):
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+            for k in path)
+        spec = _spec_for(name, getattr(x, "ndim", 0), mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(put, tree)
