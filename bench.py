@@ -61,6 +61,42 @@ def bench_train_step(small: bool):
     return batch_size * iters / dt / n_chips
 
 
+def bench_scene(small: bool):
+    """Scene-level pretraining step throughput (SparseUNet + PointFusion,
+    ScanNet schema) — samples/sec/chip at per-device batch 1 like the
+    reference's 4-GPU setup."""
+    from unipre3d_tpu.training.config import load_config
+    from unipre3d_tpu.training.trainer import (create_train_state,
+                                               make_train_step)
+    from unipre3d_tpu.data.dataset_factory import get_dataset
+    from unipre3d_tpu.data.loader import Loader
+
+    if small:
+        over = ["data.training_width=32", "data.training_height=32",
+                "data.input_images=2", "data.max_points=1024",
+                "tpu.raster_tile_capacity=128"]
+    else:
+        over = ["data.input_images=4", "data.max_points=16384"]
+    cfg = load_config("sparseunet_pretraining", overrides=[
+        "opt.batch_size=1", "data.pts_dataset_root=synthetic",
+        "opt.ema.update_after_step=1"] + over)
+    ds = get_dataset(cfg, "train")
+    batch = next(iter(Loader(ds, 1, shuffle=False).epoch(0)))
+    rng = jax.random.PRNGKey(0)
+    dtype = jnp.float32 if small else jnp.bfloat16
+    model, tx, state = create_train_state(cfg, rng, batch, dtype=dtype)
+    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    b = jax.tree_util.tree_map(jnp.asarray, batch)
+    state, m = step(state, b)
+    jax.block_until_ready(m["loss"])
+    iters = 2 if small else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, b)
+    jax.block_until_ready(m["loss"])
+    return iters / (time.perf_counter() - t0) / jax.device_count()
+
+
 def bench_splat(small: bool, impl: str = "xla"):
     from unipre3d_tpu.ops.rasterizer import rasterize
 
@@ -104,6 +140,11 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
     sps = bench_train_step(small)
     splat_ms = bench_splat(small)
+    try:
+        scene_sps = round(bench_scene(small), 3)
+    except Exception as e:
+        print(f"[bench] scene bench failed: {e}", file=sys.stderr)
+        scene_sps = None
     # the Pallas duplicate-sort-stream kernel (CUDA-parity structure)
     splat_pallas_ms = None
     if platform != "cpu":
@@ -119,6 +160,7 @@ def main():
         "extra": {
             "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
             "splat_fwd_bwd_ms_100k_pallas": splat_pallas_ms,
+            "scene_samples_per_sec_per_chip": scene_sps,
             "platform": platform,
             "small_mode": small,
         },

@@ -1,0 +1,107 @@
+"""ShapeNet loader test against a fabricated reference-layout tree."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def mini_shapenet(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    root = tmp_path / "shapenet"
+    for cls in ("02691156", "03001627"):
+        for obj in ("obj_a", "obj_b"):
+            d = root / cls / obj
+            (d / "easy").mkdir(parents=True)
+            (d / "pts").mkdir()
+            for v in range(6):
+                img = Image.fromarray(rng.integers(
+                    0, 255, (64, 64, 4), dtype=np.uint8))
+                img.save(d / "easy" / f"{v:03d}.png")
+                az = 2 * np.pi * v / 6
+                c2w = np.eye(4)
+                c2w[:3, :3] = [[np.cos(az), 0, -np.sin(az)], [0, 1, 0],
+                               [np.sin(az), 0, np.cos(az)]]
+                c2w[:3, 3] = [0, 0, 1.75]
+                np.savetxt(d / "easy" / f"{v:03d}.txt", c2w)
+            np.save(d / "pts" / "cloud.npy",
+                    rng.uniform(-1, 1, (5000, 6)).astype(np.float32))
+    return str(root)
+
+
+def make_cfg(root, **over):
+    from unipre3d_tpu.training.config import load_config
+    overrides = [f"data.dataset_root={root}",
+                 "data.training_resolution=32", "data.num_points=256"]
+    overrides += [f"{k}={v}" for k, v in over.items()]
+    return load_config("transformer_pretraining", overrides=overrides)
+
+
+class TestShapeNetLoader:
+    def test_split_and_schema(self, mini_shapenet):
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet)
+        splits = {s: ShapeNetDataset(cfg, s) for s in
+                  ("train", "val", "test")}
+        # 4 objects -> 3 train / 0 val / 1 test with 75/20 ratios
+        assert len(splits["train"]) == 3
+        assert sum(len(d) for d in splits.values()) == 4
+        ex = splits["train"][0]
+        assert ex["point_cloud"].shape == (256, 3)
+        # train: 1 cond + imgs_per_obj supervision views
+        assert ex["gt_images"].shape == (5, 3, 32, 32)
+        assert ex["world_view_transforms"].shape == (5, 4, 4)
+        assert ex["gt_images"].max() <= 1.0
+
+    def test_cloud_centered_and_remapped(self, mini_shapenet):
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet)
+        ds = ShapeNetDataset(cfg, "train")
+        pc = ds[0]["point_cloud"]
+        # FPS keeps points within the original (centered) extent
+        assert np.abs(pc).max() < 2.5
+
+    def test_gravity_channel(self, mini_shapenet):
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet)
+        cfg.model.in_channels = 4
+        ds = ShapeNetDataset(cfg, "train")
+        pc = ds[0]["point_cloud"]
+        assert pc.shape == (256, 4)
+        assert pc[:, 3].min() >= 0  # gravity channel anchored at min-y
+
+    def test_camera_consistency(self, mini_shapenet):
+        """full_proj == world_view @ proj; camera center from inverse."""
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet)
+        ds = ShapeNetDataset(cfg, "val" if len(
+            ShapeNetDataset(cfg, "val")) else "train")
+        ex = ds[0]
+        wv = ex["world_view_transforms"]
+        fp = ex["full_proj_transforms"]
+        cc = ex["camera_centers"]
+        np.testing.assert_allclose(
+            fp[0], wv[0] @ np.asarray(ds._proj), atol=1e-5)
+        inv = np.linalg.inv(wv[0].astype(np.float64))
+        np.testing.assert_allclose(cc[0], inv[3, :3], atol=1e-4)
+
+
+def test_pcm_windowed_scan():
+    """PCM's FPS-windowed mamba path (reference PCM.py:456-510)."""
+    import jax
+    import jax.numpy as jnp
+    from unipre3d_tpu.models.pcm import PointMambaEncoder
+    enc = PointMambaEncoder(in_channels=3, use_windows=True,
+                            windows_size=64)
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(rng, (1, 256, 3), minval=-0.5, maxval=0.5)
+    variables = jax.jit(lambda: enc.init(
+        {"params": rng, "droppath": rng}, pts))()
+    (p_list, x_list), _ = jax.jit(
+        lambda v, p: enc.apply(v, p, mutable=["batch_stats"]))(
+        variables, pts)
+    assert [p.shape[1] for p in p_list] == [256, 128, 64, 32, 16]
+    assert all(np.isfinite(np.asarray(x)).all() for x in x_list)

@@ -27,11 +27,29 @@ class Logger:
             if entity:
                 try:
                     import wandb
+                    # resume the previous run of this output dir if one
+                    # exists (reference logger.py:56-69 scans
+                    # wandb/latest-run for the run id)
+                    run_id = self._find_previous_run_id(out_dir)
                     wandb.init(project=cfg.wandb.project, entity=entity,
-                               config=cfg.to_plain(), dir=out_dir)
+                               config=cfg.to_plain(), dir=out_dir,
+                               id=run_id,
+                               resume="must" if run_id else None)
                     self.wandb = wandb
                 except Exception as e:  # offline fallback
                     print(f"[logger] wandb unavailable ({e}); console only")
+
+    @staticmethod
+    def _find_previous_run_id(out_dir: str) -> Optional[str]:
+        latest = os.path.join(out_dir, "wandb", "latest-run")
+        try:
+            target = os.path.basename(os.path.realpath(latest))
+            # run dirs are named run-<timestamp>-<id>
+            if target.startswith("run-"):
+                return target.split("-")[-1]
+        except OSError:
+            pass
+        return None
 
     def log(self, step: int, metrics: Dict, prefix: str = "train"):
         if not self.is_main:
