@@ -81,6 +81,28 @@ def main():
     print(f"[train] devices={n_dev} params={n_params/1e6:.2f}M "
           f"backbone={cfg.model.backbone_type}")
 
+    # warm start from a torch backbone checkpoint (reference
+    # opt.pretrained_ckpt, model/point_predictor.py:44-53, strict=False)
+    pretrained = str(cfg.opt.get("pretrained_ckpt") or "")
+    if pretrained and os.path.exists(pretrained) and \
+            cfg.model.backbone_type == "transformer":
+        import torch
+        from unipre3d_tpu.export import import_transformer_backbone
+        sd = torch.load(pretrained, map_location="cpu", weights_only=False)
+        sd = sd.get("model_state_dict", sd)
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        params = jax.tree_util.tree_map(np.asarray, state.params)
+        stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        import_transformer_backbone(
+            sd, params["point_network"]["encoder"],
+            stats["point_network"]["encoder"],
+            prefix="point_network.encoder")
+        state = state._replace(
+            params=jax.device_put(params),
+            ema_params=jax.device_put(params),
+            batch_stats=jax.device_put(stats))
+        print(f"[train] warm-started backbone from {pretrained}")
+
     # resume
     latest = os.path.join(out_dir, "model_latest.ckpt")
     best_psnr = 0.0

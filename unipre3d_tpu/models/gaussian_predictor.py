@@ -183,17 +183,27 @@ class GaussianSplatPredictor(nn.Module):
     def _forward_object(self, point_cloud, image, c2w, train):
         if self.use_fusion:
             B, V = image.shape[:2]
-            assert V == 1, "object-level fusion uses 1 conditioning view"
             img = image.reshape(B * V, *image.shape[2:])
             image_features = self._image_features(img)
+            if V > 1:
+                # multi-view union (reference _multi_view_union,
+                # gaussian_predictor.py:413-420): run the backbone once
+                # per conditioning view and concatenate the per-view
+                # gaussians along the point axis
+                point_cloud = jnp.repeat(point_cloud, V, axis=0)
+                c2w = c2w.reshape(B * V, 1, *c2w.shape[2:])
             out, center = self.point_network(
                 point_cloud, image_features=image_features, c2w=c2w,
                 fusion_mlp=self.fusion_mlps, intrinsic=self.intrinsic,
                 train=train)
         else:
-            V = 1
+            B, V = point_cloud.shape[0], 1
             out, center = self.point_network(point_cloud, train=train)
-        return self._activate(out, center)
+        d = self._activate(out, center)
+        if V > 1:
+            d = {k: v.reshape(B, V * v.shape[1], *v.shape[2:])
+                 for k, v in d.items()}
+        return d
 
     def _forward_scene(self, point_cloud, image, unprojected_coords, train):
         B, V = image.shape[:2]
