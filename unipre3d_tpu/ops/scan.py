@@ -38,9 +38,18 @@ def selective_scan(u: jnp.ndarray, delta: jnp.ndarray, A: jnp.ndarray,
                    D: Optional[jnp.ndarray] = None,
                    z: Optional[jnp.ndarray] = None,
                    delta_bias: Optional[jnp.ndarray] = None,
-                   delta_softplus: bool = False) -> jnp.ndarray:
+                   delta_softplus: bool = False,
+                   chunk_size: int = 64) -> jnp.ndarray:
     """u, delta: [Batch, L, D]; A: [D, N]; B, C: [Batch, L, N];
-    D: [D]; z: [Batch, L, D] -> y [Batch, L, D]."""
+    D: [D]; z: [Batch, L, D] -> y [Batch, L, D].
+
+    For sequences longer than ``chunk_size`` the recurrence runs as a
+    rematerialized ``lax.scan`` over chunks with an associative scan
+    inside each chunk: peak memory is O(B * chunk * D * N) instead of
+    the O(B * L * D * N) of a full-length associative scan (the
+    reference's CUDA kernel is sequential with O(B*D*N) state; this is
+    the TPU-shaped middle ground, SURVEY.md §7 hard part 3).
+    """
     u = u.astype(jnp.float32)
     delta = delta.astype(jnp.float32)
     if delta_bias is not None:
@@ -48,12 +57,48 @@ def selective_scan(u: jnp.ndarray, delta: jnp.ndarray, A: jnp.ndarray,
     if delta_softplus:
         delta = jax.nn.softplus(delta)
 
-    # [B, L, D, N]
-    dA = jnp.exp(delta[..., None] * A[None, None])
-    dBu = (delta * u)[..., None] * B[:, :, None, :].astype(jnp.float32)
+    Bsz, L, Dd = u.shape
+    Bm = B.astype(jnp.float32)
+    Cm = C.astype(jnp.float32)
 
-    _, h = jax.lax.associative_scan(_ssm_combine, (dA, dBu), axis=1)
-    y = jnp.einsum("bldn,bln->bld", h, C.astype(jnp.float32))
+    if L <= chunk_size:
+        dA = jnp.exp(delta[..., None] * A[None, None])   # [B, L, D, N]
+        dBu = (delta * u)[..., None] * Bm[:, :, None, :]
+        _, h = jax.lax.associative_scan(_ssm_combine, (dA, dBu), axis=1)
+        y = jnp.einsum("bldn,bln->bld", h, Cm)
+    else:
+        pad = (-L) % chunk_size
+        if pad:
+            u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+            d_p = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
+            B_p = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0)))
+            C_p = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0)))
+        else:
+            u_p, d_p, B_p, C_p = u, delta, Bm, Cm
+        nc = (L + pad) // chunk_size
+
+        def to_chunks(x):
+            return x.reshape(Bsz, nc, chunk_size, *x.shape[2:]
+                             ).swapaxes(0, 1)
+
+        @functools.partial(jax.checkpoint)
+        def chunk_step(h0, xs):
+            uc, dc, Bc, Cc = xs  # [B, c, ...]
+            dA = jnp.exp(dc[..., None] * A[None, None])
+            dBu = (dc * uc)[..., None] * Bc[:, :, None, :]
+            cumA, cumB = jax.lax.associative_scan(
+                _ssm_combine, (dA, dBu), axis=1)
+            h = cumA * h0[:, None] + cumB      # [B, c, D, N]
+            yc = jnp.einsum("bcdn,bcn->bcd", h, Cc)
+            return h[:, -1], yc
+
+        h0 = jnp.zeros((Bsz, Dd, A.shape[1]), jnp.float32)
+        _, ys = jax.lax.scan(
+            chunk_step, h0,
+            (to_chunks(u_p), to_chunks(d_p), to_chunks(B_p),
+             to_chunks(C_p)))
+        y = ys.swapaxes(0, 1).reshape(Bsz, L + pad, Dd)[:, :L]
+
     if D is not None:
         y = y + D.astype(jnp.float32) * u
     if z is not None:
