@@ -117,6 +117,26 @@ class PCMLocalGrouper(nn.Module):
         return new_xyz, grouped, points_res
 
 
+class PCMStage(nn.Module):
+    """Grouper + PreExtraction as one remat region: the grouped
+    [B, S, K, 2D+3] tensor (~600 MB at the reference batch size) is
+    recomputed in the backward instead of saved."""
+    out_ch: int
+    reducer: int
+    kneighbors: int
+    pre_blocks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, x, x_res, train: bool = False):
+        p, grouped, x_res = PCMLocalGrouper(
+            self.reducer, self.kneighbors, dtype=self.dtype,
+            name="grouper")(p, x, x_res)
+        x = PreExtraction(self.out_ch, self.pre_blocks, dtype=self.dtype,
+                          name="pre")(grouped, train)
+        return p, x, x_res
+
+
 class MambaBlock(nn.Module):
     """Add -> RMSNorm -> Mamba residual wrapper (reference
     mamba_layer.py:10-94, fused_add_norm semantics)."""
@@ -206,11 +226,11 @@ class PointMambaEncoder(nn.Module):
         last_ch = self.embed_dim
         for i in range(n_stages):
             out_ch = last_ch * self.dim_expansion[i]
-            p, grouped, x_res = PCMLocalGrouper(
-                self.reducers[i], self.k_neighbors[i], dtype=self.dtype,
-                name=f"grouper{i}")(p, x, x_res)
-            x = PreExtraction(out_ch, self.pre_blocks[i], dtype=self.dtype,
-                              name=f"pre{i}")(grouped, train)
+            stage_cls = nn.remat(PCMStage, static_argnums=(4,))
+            p, x, x_res = stage_cls(
+                out_ch, self.reducers[i], self.k_neighbors[i],
+                self.pre_blocks[i], dtype=self.dtype,
+                name=f"stage{i}")(p, x, x_res, train)
 
             if x_res is not None and last_ch != out_ch:
                 x_res = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
@@ -248,10 +268,12 @@ class PointMambaEncoder(nn.Module):
                         res_in = jnp.concatenate(
                             [prom.astype(jnp.float32), res_in,
                              prom.astype(jnp.float32)], axis=1)
-                x_in, res_in = MambaBlock(
+                # remat: 9 bimamba layers of [B, L, 2*dim] activations
+                # otherwise exceed HBM at the reference batch size
+                block_cls = nn.remat(MambaBlock, static_argnums=(3,))
+                x_in, res_in = block_cls(
                     out_ch, drop_path=dpr[layer_idx], dtype=self.dtype,
-                    name=f"mamba{layer_idx}")(x_in, res_in,
-                                              deterministic=not train)
+                    name=f"mamba{layer_idx}")(x_in, res_in, not train)
                 if self.use_order_prompt:
                     k = self.prompt_num_per_order
                     x_in = x_in[:, k:-k]

@@ -140,10 +140,48 @@ def rasterize_projected(pg: ProjectedGaussians, bg_color: jnp.ndarray,
 
     bg = jnp.asarray(bg_color, dtype=jnp.float32)
 
+    # compositing streamed over K-chunks with a rematerialized scan:
+    # materializing the full [pixels, K] alpha matrix costs
+    # B*V*H*W*K floats (8 GB at the reference train config); chunking
+    # keeps the math identical (prefix products carried via logT) at
+    # O(pixels * chunk) memory.
+    K_CHUNK = min(256, K)
+    n_k = -(-K // K_CHUNK)
+    pad_k = n_k * K_CHUNK - K
+
     def tile_fn(mean2d, conic, color, opa, px, py):
-        a = _alpha(mean2d, conic, opa, px, py)
-        rgb, _ = _composite(a, color, bg)
-        return rgb  # [P, 3]
+        if pad_k:
+            mean2d = jnp.pad(mean2d, ((0, pad_k), (0, 0)))
+            conic = jnp.pad(conic, ((0, pad_k), (0, 0)))
+            color = jnp.pad(color, ((0, pad_k), (0, 0)))
+            opa = jnp.pad(opa, (0, pad_k))
+
+        def chunks(x):
+            return x.reshape(n_k, K_CHUNK, *x.shape[1:])
+
+        @jax.checkpoint
+        def step(carry, xs):
+            rgb, logT = carry
+            m_c, c_c, col_c, o_c = xs
+            a = _alpha(m_c, c_c, o_c, px, py)        # [P, c]
+            log_1ma = jnp.log1p(-a)
+            cum = jnp.cumsum(log_1ma, axis=1) + logT[:, None]
+            contrib = jnp.exp(cum) >= T_EPS
+            w = jnp.where(contrib, a * jnp.exp(cum - log_1ma), 0.0)
+            rgb = rgb + jnp.dot(w, col_c,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+            logT = logT + jnp.sum(jnp.where(contrib, log_1ma, 0.0),
+                                  axis=1)
+            return (rgb, logT), None
+
+        P_ = px.shape[0]
+        init = (jnp.zeros((P_, 3), jnp.float32),
+                jnp.zeros((P_,), jnp.float32))
+        (rgb, logT), _ = jax.lax.scan(
+            step, init, (chunks(mean2d), chunks(conic), chunks(color),
+                         chunks(opa)))
+        return rgb + jnp.exp(logT)[:, None] * bg[None, :]  # [P, 3]
 
     tiles = jax.vmap(tile_fn)(g_mean2d, g_conic, g_color, g_opa, pix_x, pix_y)
     # [n_tiles, P, 3] -> [3, H, W]
