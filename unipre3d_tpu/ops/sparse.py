@@ -80,8 +80,46 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
     return np.asarray(offs, dtype=np.int32)
 
 
+def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
+                  k_chunk: int = 32) -> jnp.ndarray:
+    """Exact-match lookup of tgt [M, K] in sorted codes [M] via a
+    batched merge sort — XLA's ``searchsorted`` lowers to a serialized
+    gather loop on TPU (measured 24 ms per 433k needles), while one
+    batched sort is ~2 ms. Returns row index or -1."""
+    M, K = tgt.shape
+    out_cols = []
+    arange2m = jnp.arange(2 * M, dtype=jnp.int32)
+    for k0 in range(0, K, k_chunk):
+        kc = min(k_chunk, K - k0)
+        tcol = tgt[:, k0:k0 + kc].T                       # [kc, M]
+        comb = jnp.concatenate(
+            [jnp.broadcast_to(codes, (kc, M)), tcol], axis=1)
+        # tie-break: codes (tag 0) before equal targets (tag 1) -> the
+        # rank of a target counts codes <= it ('right' semantics)
+        tag = jnp.concatenate(
+            [jnp.zeros((kc, M), jnp.uint8), jnp.ones((kc, M), jnp.uint8)],
+            axis=1)
+        idx = jnp.broadcast_to(arange2m, (kc, 2 * M))
+        _, tag_s, idx_s = jax.lax.sort((comb, tag, idx), num_keys=2,
+                                       dimension=1)
+        is_t = tag_s == 1
+        tgt_ord = jnp.cumsum(is_t.astype(jnp.int32), axis=1) - 1
+        merged_pos = jnp.broadcast_to(arange2m, (kc, 2 * M))
+        pos_right = merged_pos - tgt_ord                  # codes <= t
+        # scatter back to original target order
+        col = jnp.where(is_t, idx_s - M, M)               # dump invalid
+        row = jax.lax.broadcasted_iota(jnp.int32, (kc, 2 * M), 0)
+        back = jnp.zeros((kc, M + 1), jnp.int32).at[row, col].set(
+            jnp.where(is_t, pos_right, 0), mode="drop")[:, :M]  # [kc, M]
+        cand = back - 1
+        cand_c = jnp.clip(cand, 0, M - 1)
+        found = (cand >= 0) & (jnp.take(codes, cand_c) == tcol)
+        out_cols.append(jnp.where(found, cand_c, -1).T)   # [M, kc]
+    return jnp.concatenate(out_cols, axis=1)
+
+
 def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
-    """Submanifold neighbor table via binary search.
+    """Submanifold neighbor table.
 
     sv must be canonical (code-sorted). offsets [K, 3] ->
     idx [M, K] int32 row index of the voxel at coords+offset, or -1.
@@ -95,10 +133,8 @@ def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
     tgt_mask = sv.mask[:, None] & in_range
     tgt = pack_code(tgt_coords.reshape(-1, 3),
                     tgt_mask.reshape(-1)).reshape(M, -1)        # [M, K]
-    pos = jnp.searchsorted(codes, tgt).astype(jnp.int32)        # [M, K]
-    pos_c = jnp.clip(pos, 0, M - 1)
-    found = (jnp.take(codes, pos_c) == tgt) & (tgt != INVALID_CODE)
-    return jnp.where(found, pos_c, -1)
+    found = _merge_lookup(codes, tgt)
+    return jnp.where(tgt == INVALID_CODE, -1, found)
 
 
 def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
