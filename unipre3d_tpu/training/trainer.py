@@ -239,15 +239,19 @@ def make_train_step(cfg, model, tx):
         new_params = optax.apply_updates(state.params, updates)
         step = state.step + 1
         if use_ema:
-            def ema_update(e, p):
+            def ema_update(path, e, p):
+                if _is_frozen(path):
+                    # frozen VAE subtree never changes: skipping the
+                    # where-chain saves ~2 GB/step of HBM traffic
+                    return e
                 copy_phase = step <= ema_after
                 do_update = jnp.logical_and(step > ema_after,
                                             step % ema_every == 0)
                 decayed = e * ema_beta + p * (1.0 - ema_beta)
                 return jnp.where(copy_phase, p,
                                  jnp.where(do_update, decayed, e))
-            new_ema = jax.tree_util.tree_map(ema_update, state.ema_params,
-                                             new_params)
+            new_ema = jax.tree_util.tree_map_with_path(
+                ema_update, state.ema_params, new_params)
         else:
             new_ema = state.ema_params
         new_state = TrainState(step=step, params=new_params,
