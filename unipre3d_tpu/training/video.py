@@ -121,7 +121,8 @@ def generate_test_examples(model, state, cfg, test_loader, out_dir: str,
                            iteration: int, num_examples: int = 1,
                            use_ema: bool = True) -> List[str]:
     """Reference Trainer.generate_test_examples (train_network.py:497-556):
-    run the model on test examples and write orbit videos."""
+    render every view of a test example next to its ground truth; object
+    level additionally gets a rotating-orbit video."""
     from unipre3d_tpu.training.trainer import model_inputs
     paths = []
     n_in = int(cfg.data.input_images)
@@ -130,13 +131,34 @@ def generate_test_examples(model, state, cfg, test_loader, out_dir: str,
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     apply = jax.jit(lambda *a: model.apply(variables, *a, train=False))
+    bg = np.asarray([1.0, 1.0, 1.0] if cfg.data.white_background
+                    else [0.0, 0.0, 0.0], dtype=np.float32)
     for i, batch in enumerate(test_loader.epoch(0)):
         if i >= num_examples:
             break
         gaussians = apply(*model_inputs(batch, n_in, cfg.opt.level))
         one = {k: v[0] for k, v in gaussians.items()}
         mask = one.pop("mask", None)
-        frames = render_orbit(one, cfg, gaussian_mask=mask)
-        base = os.path.join(out_dir, f"test_video_{iteration}_{i}")
-        paths.append(write_video(frames, base))
+
+        # render | GT side-by-side over the example's own views
+        render_one = jax.jit(lambda wv, fp, cc: render_predicted(
+            one, wv, fp, cc, bg, cfg, gaussian_mask=mask)["render"])
+        frames = []
+        V = batch["gt_images"].shape[1]
+        for r in range(V):
+            img = np.asarray(render_one(
+                jnp.asarray(batch["world_view_transforms"][0, r]),
+                jnp.asarray(batch["full_proj_transforms"][0, r]),
+                jnp.asarray(batch["camera_centers"][0, r])))
+            gt = np.asarray(batch["gt_images"][0, r])
+            pair = np.concatenate([np.clip(img, 0, 1),
+                                   np.clip(gt, 0, 1)], axis=2)
+            frames.append((pair.transpose(1, 2, 0) * 255).astype(np.uint8))
+        base = os.path.join(out_dir, f"test_views_{iteration}_{i}")
+        paths.append(write_video(np.stack(frames), base, fps=4))
+
+        if cfg.opt.level == "object":
+            orbit = render_orbit(one, cfg, gaussian_mask=mask)
+            base = os.path.join(out_dir, f"test_orbit_{iteration}_{i}")
+            paths.append(write_video(orbit, base))
     return paths
