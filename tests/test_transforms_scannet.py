@@ -178,3 +178,43 @@ class TestScanNetLoader:
         py = cam[:, 1] * K[1, 1] / cam[:, 2] + K[1, 2]
         np.testing.assert_allclose(px, xs[sel], atol=0.5)
         np.testing.assert_allclose(py, ys[sel], atol=0.5)
+
+
+class TestScanNetAugCameras:
+    def test_cameras_from_extrinsics_identity(self, mini_scannet):
+        """Deriving camera tensors from the UNTRANSFORMED w2c must
+        reproduce the loader's own camera tensors — combined with the
+        transform-level invariance test (w2c' @ S p == w2c @ p) this
+        covers the augmented-camera path end to end."""
+        pts_root, rgb_root = mini_scannet
+        from unipre3d_tpu.data.scannet import ScanNetDataset
+        from unipre3d_tpu.training.config import load_config
+        cfg = load_config("sparseunet_pretraining", overrides=[
+            f"data.pts_dataset_root={pts_root}",
+            f"data.rgb_dataset_root={rgb_root}",
+            "data.max_points=4096", "data.input_images=2"])
+        ds = ScanNetDataset(cfg, "train")
+        ex = ds._load_scene(ds.metadata[0])
+        cams = ds._cameras_from_extrinsics(ex["w2c"][:3])
+        np.testing.assert_allclose(cams["world_view_transforms"],
+                                   ex["world_view_transforms"][:3],
+                                   atol=1e-4)
+        np.testing.assert_allclose(cams["full_proj_transforms"],
+                                   ex["full_proj_transforms"][:3],
+                                   atol=1e-4)
+        np.testing.assert_allclose(cams["camera_centers"],
+                                   ex["camera_centers"][:3], atol=1e-4)
+
+    def test_aug_getitem_runs(self, mini_scannet):
+        pts_root, rgb_root = mini_scannet
+        from unipre3d_tpu.data.scannet import ScanNetDataset
+        from unipre3d_tpu.training.config import load_config
+        cfg = load_config("sparseunet_pretraining", overrides=[
+            f"data.pts_dataset_root={pts_root}",
+            f"data.rgb_dataset_root={rgb_root}",
+            "data.max_points=4096", "data.input_images=2",
+            "model.aug=true"])
+        ds = ScanNetDataset(cfg, "train")
+        ex = ds[0]
+        assert np.isfinite(ex["world_view_transforms"]).all()
+        assert np.isfinite(ex["unprojected_coords"]).all()
