@@ -304,6 +304,8 @@ def render_predicted(pc: Dict[str, jnp.ndarray], world_view_transform,
             cap = int(tpu_cfg.raster_tile_capacity)
         kwargs["capacity"] = cap
         kwargs["tile_h"], kwargs["tile_w"] = auto_tile(img_h, img_w)
+        if tpu_cfg and "raster_impl" in tpu_cfg:
+            kwargs["impl"] = str(tpu_cfg.raster_impl)
     return fn(pc["xyz"], pc["opacity"], pc["scaling"], pc["rotation"], shs,
               world_view_transform, full_proj_transform, camera_center,
               **kwargs)
