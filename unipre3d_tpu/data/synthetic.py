@@ -137,7 +137,9 @@ class SyntheticDataset:
             })
 
     def __len__(self):
-        return len(self.examples)
+        # virtual length: keeps epochs non-empty at any batch size
+        # (__getitem__ indexes modulo the real example count)
+        return max(len(self.examples), 128)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         ex = self.examples[index % len(self.examples)]

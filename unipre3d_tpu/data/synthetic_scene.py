@@ -243,7 +243,8 @@ class SyntheticSceneDataset:
             })
 
     def __len__(self):
-        return len(self.examples)
+        # virtual length: keeps epochs non-empty at any batch size
+        return max(len(self.examples), 16)
 
     def __getitem__(self, index: int) -> Dict:
         return self.examples[index % len(self.examples)]
