@@ -19,7 +19,8 @@ import numpy as np
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, shard_id: int = 0, num_shards: int = 1,
-                 drop_last: bool = True, prefetch: int = 2):
+                 drop_last: bool = True, prefetch: int = 2,
+                 num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +29,8 @@ class Loader:
         self.num_shards = num_shards
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
+        self._pool = None
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -48,6 +51,17 @@ class Loader:
                 out[k] = np.stack([e[k] for e in examples])
         return out
 
+    def _fetch(self, sel) -> Dict[str, np.ndarray]:
+        if self.num_workers > 1 and len(sel) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            examples = list(self._pool.map(
+                lambda i: self.dataset[int(i)], sel))
+        else:
+            examples = [self.dataset[int(i)] for i in sel]
+        return self._stack(examples)
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_indices(epoch)
         nb = len(idx) // self.batch_size if self.drop_last else \
@@ -56,7 +70,7 @@ class Loader:
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if len(sel) == 0:
                 break
-            yield self._stack([self.dataset[int(i)] for i in sel])
+            yield self._fetch(sel)
 
     def __iter__(self):
         """Infinite iterator over epochs with background prefetch."""
