@@ -6,8 +6,16 @@ Runs the full jitted train step (backbone fwd + VAE + fusion + 4-view
 rasterization + backward + AdamW) on real shapes (1024 points, 128x128
 renders, batch 32 object-level) on whatever accelerator is attached, and
 prints ONE JSON line. Also measures splat fwd+bwd latency at 100k
-Gaussians as a secondary metric. Set BENCH_SMALL=1 (or run on CPU) for a
-tiny configuration.
+Gaussians and scene-level (SparseUNet+PointFusion) throughput. Set
+BENCH_SMALL=1 (or run on CPU) for a tiny configuration.
+
+TIMING METHODOLOGY: on this TPU tunnel `jax.block_until_ready` does NOT
+wait for device execution (measured: an 8x4096^3 bf16 matmul chain
+"takes" 0.03 ms/iter that way vs an honest 5.8 ms/iter). Every number
+here is therefore a SLOPE: time N_lo and N_hi iterations, each run ending
+in a forced scalar fetch (`float(...)`, which must materialize the value),
+and report (T_hi - T_lo) / (N_hi - N_lo). The constant fetch/tunnel RTT
+(~30-50 ms) cancels in the subtraction.
 """
 
 from __future__ import annotations
@@ -30,6 +38,17 @@ except Exception:
 
 import jax.numpy as jnp
 import numpy as np
+
+
+def time_slope(run_n, iters_lo, iters_hi, repeats=2):
+    """Honest per-iteration seconds. ``run_n(n)`` must execute n
+    iterations and end with a forced scalar materialization; the slope
+    between the two iteration counts cancels the constant fetch cost.
+    Best-of-``repeats`` per point guards against host-side jitter (this
+    VM has one CPU core)."""
+    lo = min(run_n(iters_lo) for _ in range(repeats))
+    hi = min(run_n(iters_hi) for _ in range(repeats))
+    return max((hi - lo) / (iters_hi - iters_lo), 1e-9)
 
 
 def bench_train_step(small: bool):
@@ -58,37 +77,66 @@ def bench_train_step(small: bool):
     sharded = shard_batch(batch, mesh)
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
-    state, m = step(state, sharded)   # compile
-    jax.block_until_ready(m["loss"])
-    iters = 3 if small else 20
-    best = float("inf")
-    for _ in range(2):  # best-of-2: host jitter can stall dispatch
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, sharded)
-        jax.block_until_ready(m["loss"])
-        best = min(best, time.perf_counter() - t0)
+    def make_run_n(b):
+        def run_n(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(n):
+                state, m = step(state, b)
+            float(m["loss"])
+            return time.perf_counter() - t0
+        return run_n
+
+    lo, hi = (1, 3) if small else (5, 40)
     n_chips = jax.device_count()
-    return batch_size * iters / best / n_chips
+
+    state, m = step(state, sharded)   # compile live-VAE path
+    float(m["loss"])                  # force materialization
+    live_sec = time_slope(make_run_n(sharded), lo, hi)
+
+    # default training path: frozen-VAE conditioning features served from
+    # the device cache (training/feature_cache.py) — steady state is all
+    # hits, which is what an epoch>=2 step costs
+    from unipre3d_tpu.training.feature_cache import (DeviceVAECache,
+                                                     make_feature_fn)
+    res = (int(cfg.data.training_resolution)
+           if "training_resolution" in cfg.data
+           else int(cfg.data.training_height))
+    n_in = int(cfg.data.input_images)
+    cache = DeviceVAECache(make_feature_fn(model), capacity=batch_size * n_in,
+                           img_h=res, img_w=res)
+    cached_batch = dict(sharded)
+    cached_batch["vae_features"] = cache.attach(batch, state.params, n_in)
+    state, m = step(state, cached_batch)  # compile cached path
+    float(m["loss"])
+    cached_sec = time_slope(make_run_n(cached_batch), lo, hi)
+
+    return (batch_size / cached_sec / n_chips,
+            batch_size / live_sec / n_chips)
 
 
 def bench_scene(small: bool):
     """Scene-level pretraining step throughput (SparseUNet + PointFusion,
     ScanNet schema) — samples/sec/chip at per-device batch 1 like the
-    reference's 4-GPU setup."""
+    reference's 4-GPU setup (configs/sparseunet_pretraining.yaml:6-34).
+    Default 8192-voxel capacity (BENCH_SCENE_FULL=1 for the real 80k) to
+    fit the driver's wall-clock budget; the config is reported alongside
+    the number."""
     from unipre3d_tpu.training.config import load_config
     from unipre3d_tpu.training.trainer import (create_train_state,
                                                make_train_step)
     from unipre3d_tpu.data.dataset_factory import get_dataset
     from unipre3d_tpu.data.loader import Loader
 
+    full = os.environ.get("BENCH_SCENE_FULL") == "1"
     if small:
         over = ["data.training_width=32", "data.training_height=32",
                 "data.input_images=2", "data.max_points=1024",
                 "tpu.raster_tile_capacity=128"]
+    elif full:
+        over = []  # reference config: 8 views, 160x120, 80k points
     else:
-        # kept small: the driver runs bench.py with a wall-clock budget
-        # and scene compiles dominate
         over = ["data.input_images=2", "data.max_points=8192"]
     cfg = load_config("sparseunet_pretraining", overrides=[
         "opt.batch_size=1", "data.pts_dataset_root=synthetic",
@@ -101,13 +149,21 @@ def bench_scene(small: bool):
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
     b = jax.tree_util.tree_map(jnp.asarray, batch)
     state, m = step(state, b)
-    jax.block_until_ready(m["loss"])
-    iters = 2 if small else 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, b)
-    jax.block_until_ready(m["loss"])
-    return iters / (time.perf_counter() - t0) / jax.device_count()
+    float(m["loss"])
+
+    def run_n(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, b)
+        float(m["loss"])
+        return time.perf_counter() - t0
+
+    lo, hi = (1, 3) if (small or full) else (2, 10)
+    sec_per_iter = time_slope(run_n, lo, hi)
+    return 1.0 / sec_per_iter / jax.device_count(), (
+        "full_80k" if full else ("small" if small else "8k_2view"))
 
 
 def bench_splat(small: bool, impl: str = "xla"):
@@ -137,28 +193,48 @@ def bench_splat(small: bool, impl: str = "xla"):
                         impl=impl)
         return jnp.sum(out["render"])
 
-    fwdbwd = jax.jit(jax.grad(fwd_loss, argnums=(0, 1, 2, 3, 4)))
-    g = fwdbwd(means, opa, scales, rots, shs)
-    jax.block_until_ready(g)
-    iters = 3 if small else 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = fwdbwd(means, opa, scales, rots, shs)
-    jax.block_until_ready(g)
-    return (time.perf_counter() - t0) / iters * 1000.0
+    # grad-of-sum returns a scalar-producing chain; fetch one grad scalar
+    def loss_and_gradsum(m, o, s, r, sh):
+        g = jax.grad(fwd_loss, argnums=(0, 1, 2, 3, 4))(m, o, s, r, sh)
+        return jnp.sum(g[0]) + jnp.sum(g[1])
+
+    fwdbwd = jax.jit(loss_and_gradsum)
+    float(fwdbwd(means, opa, scales, rots, shs))
+
+    def run_n(n_it):
+        t0 = time.perf_counter()
+        v = None
+        for _ in range(n_it):
+            v = fwdbwd(means, opa, scales, rots, shs)
+        float(v)
+        return time.perf_counter() - t0
+
+    lo, hi = (1, 3) if small else (5, 20)
+    return time_slope(run_n, lo, hi) * 1000.0
+
+
+def _mark(msg, t0=[None]):
+    now = time.perf_counter()
+    if t0[0] is None:
+        t0[0] = now
+    print(f"[bench +{now - t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
     platform = jax.devices()[0].platform
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
-    sps = bench_train_step(small)
+    _mark(f"start platform={platform} small={small}")
+    sps, sps_live_vae = bench_train_step(small)
+    _mark(f"train step done: cached={sps:.1f} live={sps_live_vae:.1f}")
     splat_ms = bench_splat(small)
-    scene_sps = None
-    if os.environ.get("BENCH_SCENE", "0") == "1":
-        try:
-            scene_sps = round(bench_scene(small), 3)
-        except Exception as e:
-            print(f"[bench] scene bench failed: {e}", file=sys.stderr)
+    _mark(f"splat xla done: {splat_ms:.2f} ms")
+    scene_sps, scene_cfg = None, None
+    try:
+        scene_sps, scene_cfg = bench_scene(small)
+        scene_sps = round(scene_sps, 3)
+    except Exception as e:
+        print(f"[bench] scene bench failed: {e}", file=sys.stderr)
+    _mark(f"scene done: {scene_sps}")
     # the Pallas duplicate-sort-stream kernel (CUDA-parity structure)
     splat_pallas_ms = None
     if platform != "cpu":
@@ -166,17 +242,21 @@ def main():
             splat_pallas_ms = round(bench_splat(small, "pallas_binned"), 3)
         except Exception as e:
             print(f"[bench] pallas splat failed: {e}", file=sys.stderr)
+    _mark(f"splat pallas done: {splat_pallas_ms} ms")
     result = {
         "metric": "pretrain_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/s/chip",
         "vs_baseline": None,
         "extra": {
+            "samples_per_sec_per_chip_live_vae": round(sps_live_vae, 3),
             "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
             "splat_fwd_bwd_ms_100k_pallas": splat_pallas_ms,
             "scene_samples_per_sec_per_chip": scene_sps,
+            "scene_config": scene_cfg,
             "platform": platform,
             "small_mode": small,
+            "timing": "slope(N_lo,N_hi) with forced scalar fetch",
         },
     }
     print(json.dumps(result))

@@ -132,3 +132,92 @@ def test_semseg_evaluator(tmp_path):
     ev.after_epoch()
     assert T.eval_metrics["val_miou"] == 1.0
     assert T.eval_metrics["val_allacc"] == 1.0
+
+
+def test_insseg_evaluator(tmp_path):
+    """ScanNet-protocol instance AP: perfect predictions -> mAP 1.0;
+    a half-overlap prediction passes AP25 but fails AP50+."""
+    from unipre3d_tpu.training.hooks import InsSegEvaluator
+
+    n = 400
+    segment = np.zeros(n, np.int64)
+    segment[200:] = 1
+    instance = np.zeros(n, np.int64)
+    instance[100:200] = 1
+    instance[200:] = 2
+
+    def masks_of(slices):
+        m = np.zeros((len(slices), n), np.int32)
+        for k, (a, b) in enumerate(slices):
+            m[k, a:b] = 1
+        return m
+
+    def make_trainer(pred):
+        class T:
+            out_dir = str(tmp_path)
+            epoch = 0
+            eval_metrics = {}
+
+            class val_loader:
+                @staticmethod
+                def epoch(_):
+                    yield {"segment": segment, "instance": instance}
+
+            @staticmethod
+            def predict(batch):
+                return pred
+        return T
+
+    ev = InsSegEvaluator(num_classes=2, segment_ignore_index=())
+    perfect = {"pred_classes": np.array([0, 0, 1]),
+               "pred_scores": np.array([0.9, 0.8, 0.95]),
+               "pred_masks": masks_of([(0, 100), (100, 200), (200, 400)])}
+    ev.trainer = make_trainer(perfect)
+    ev.after_epoch()
+    assert ev.trainer.eval_metrics["val_map"] == 1.0
+    assert ev.trainer.eval_metrics["val_ap50"] == 1.0
+
+    # instance 2 predicted with only ~33% IoU (100/300 overlap):
+    # counts at 0.25 but not at 0.5
+    partial = {"pred_classes": np.array([0, 0, 1]),
+               "pred_scores": np.array([0.9, 0.8, 0.95]),
+               "pred_masks": masks_of([(0, 100), (100, 200), (100, 300)])}
+    ev2 = InsSegEvaluator(num_classes=2, segment_ignore_index=())
+    ev2.trainer = make_trainer(partial)
+    ev2.after_epoch()
+    m = ev2.trainer.eval_metrics
+    assert m["val_ap25"] == 1.0
+    assert m["val_ap50"] == 0.5   # class 0 perfect, class 1 missed
+    assert m["val_map"] == 0.5
+
+
+def test_mix3d_collate():
+    """Mix3d hook merges two scenes at fixed capacity (reference
+    point_collate_fn mix_prob, pointcept/datasets/utils.py:61-72)."""
+    from unipre3d_tpu.data.transforms import make_mix3d_collate, mix3d_pair
+
+    rng = np.random.default_rng(0)
+    M = 64
+    a = {"coord": np.full((M, 3), 1.0, np.float32),
+         "segment": np.zeros(M, np.int64),
+         "mask": np.arange(M) < 40}
+    b = {"coord": np.full((M, 3), 2.0, np.float32),
+         "segment": np.ones(M, np.int64),
+         "mask": np.arange(M) < 50}
+    m = mix3d_pair(a, b, rng)
+    assert m["coord"].shape == (M, 3)
+    valid = m["mask"]
+    assert valid.sum() == M  # 90 valid points subsampled to capacity
+    # both scenes contribute
+    assert (m["segment"][valid] == 0).any() and \
+        (m["segment"][valid] == 1).any()
+    # coords follow their segment
+    np.testing.assert_array_equal(
+        m["coord"][valid][m["segment"][valid] == 1][:, 0], 2.0)
+
+    hook = make_mix3d_collate(mix_prob=1.0, seed=0)
+    out = hook([a, b])
+    assert len(out) == 2 and out[0]["coord"].shape == (M, 3)
+    hook0 = make_mix3d_collate(mix_prob=0.0)
+    out0 = hook0([a, b])
+    assert out0[0] is a

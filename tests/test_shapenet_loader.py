@@ -73,6 +73,59 @@ class TestShapeNetLoader:
         assert pc.shape == (256, 4)
         assert pc[:, 3].min() >= 0  # gravity channel anchored at min-y
 
+    def test_orbit_test_split(self, mini_shapenet):
+        """Test split yields 400 continuous orbit poses (reference
+        dataset/shapenet.py:59,618-628); GT images are the tiled real
+        renders; cameras are consistent with the orbit extrinsics."""
+        from unipre3d_tpu.data.shapenet import (ShapeNetDataset,
+                                                generate_continuous_pose)
+        cfg = make_cfg(mini_shapenet)
+        ds = ShapeNetDataset(cfg, "test")
+        assert len(ds) == 1
+        ex = ds[0]
+        assert ex["gt_images"].shape == (400, 3, 32, 32)
+        assert ex["world_view_transforms"].shape == (400, 4, 4)
+        # camera centers sit on the orbit sphere (|c| == CAMERA_DISTANCE)
+        d = np.linalg.norm(ex["camera_centers"], axis=1)
+        np.testing.assert_allclose(d, 1.75, atol=1e-3)
+        # orbit c2w matrices are rigid transforms
+        c2ws = generate_continuous_pose(200)
+        assert c2ws.shape == (400, 4, 4)
+        RtR = np.einsum("nij,nik->njk", c2ws[:, :3, :3], c2ws[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3),
+                                                        (400, 3, 3)),
+                                   atol=1e-6)
+
+    def test_multiview_conditioning(self, mini_shapenet):
+        """V=2 conditioning views (routes through _multi_view_union)."""
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet, **{"data.input_images": 2})
+        ds = ShapeNetDataset(cfg, "train")
+        ex = ds[0]
+        # 2 cond + imgs_per_obj supervision views
+        assert ex["gt_images"].shape == (2 + int(cfg.opt.imgs_per_obj),
+                                         3, 32, 32)
+        # the two conditioning views are distinct
+        assert not np.array_equal(ex["gt_images"][0], ex["gt_images"][1])
+        # cond views repeat inside the supervision set (reference
+        # _get_frame_indices, shapenet.py:601-612)
+        np.testing.assert_array_equal(ex["gt_images"][0], ex["gt_images"][2])
+
+    def test_missing_frame_resample(self, mini_shapenet):
+        """Objects with missing pose files resample another object
+        (reference shapenet.py:512-514)."""
+        import glob
+        import os
+        from unipre3d_tpu.data.shapenet import ShapeNetDataset
+        cfg = make_cfg(mini_shapenet)
+        ds = ShapeNetDataset(cfg, "train")
+        victim = ds.metadata[1]
+        for f in glob.glob(os.path.join(victim, "easy", "*.txt")):
+            os.remove(f)
+        np.random.seed(0)
+        ex = ds[1]  # must not raise
+        assert ex["point_cloud"].shape == (256, 3)
+
     def test_camera_consistency(self, mini_shapenet):
         """full_proj == world_view @ proj; camera center from inverse."""
         from unipre3d_tpu.data.shapenet import ShapeNetDataset

@@ -68,9 +68,17 @@ def main():
 
     train_ds = get_dataset(cfg, "train")
     val_ds = get_dataset(cfg, "val")
+    # Mix3d scene mixing (reference point_collate_fn mix_prob,
+    # pointcept/datasets/utils.py:61-72; off in reference pretrain cfgs)
+    mix_prob = float(cfg.data.get("mix_prob", 0.0))
+    collate_hook = None
+    if mix_prob > 0.0:
+        from unipre3d_tpu.data.transforms import make_mix3d_collate
+        collate_hook = make_mix3d_collate(mix_prob, seed)
     train_loader = Loader(train_ds, batch_size, shuffle=True, seed=seed,
                           shard_id=jax.process_index(),
-                          num_shards=jax.process_count())
+                          num_shards=jax.process_count(),
+                          collate_hook=collate_hook)
     val_loader = Loader(val_ds, min(batch_size, max(1, len(val_ds))),
                         shuffle=False)
 
@@ -125,6 +133,23 @@ def main():
         lpips_params = jax.device_put(load_lpips_params(str(lpips_path)))
         print(f"[train] LPIPS weights loaded from {lpips_path}")
 
+    # device-resident cache of frozen-VAE conditioning features: skips
+    # ~85% of object-step FLOPs once warm (see training/feature_cache.py)
+    n_in = int(cfg.data.input_images)
+    cache_entries = int(cfg.get("tpu", {}).get("vae_cache_entries", 0))
+    vae_cache = None
+    if cache_entries > 0 and bool(cfg.opt.use_fusion):
+        from unipre3d_tpu.training.feature_cache import (DeviceVAECache,
+                                                         make_feature_fn)
+        if "training_resolution" in cfg.data:
+            ch, cw = [int(cfg.data.training_resolution)] * 2
+        else:
+            ch, cw = int(cfg.data.training_height), int(cfg.data.training_width)
+        vae_cache = DeviceVAECache(make_feature_fn(model), cache_entries,
+                                   ch, cw)
+        print(f"[train] VAE feature cache: {cache_entries} slots "
+              f"({cache_entries * 128 * ch * cw * 2 / 2**30:.2f} GiB HBM)")
+
     logger = Logger(cfg, out_dir)
     iterations = int(cfg.opt.iterations)
     loss_log = int(cfg.logging.loss_log)
@@ -137,7 +162,13 @@ def main():
     imgs_since = 0
     data_iter = iter(train_loader)
     for it in range(int(state.step) + 1, iterations + 1):
-        batch = shard_batch(next(data_iter), mesh)
+        host_batch = next(data_iter)
+        batch = shard_batch(host_batch, mesh)
+        if vae_cache is not None:
+            from unipre3d_tpu.parallel import batch_sharding
+            batch["vae_features"] = jax.device_put(
+                vae_cache.attach(host_batch, state.params, n_in),
+                batch_sharding(mesh))
         state, metrics = train_step(state, batch, lpips_params)
         imgs_since += batch_size
         if it % loss_log == 0:
@@ -145,6 +176,8 @@ def main():
             dt = time.time() - t_last
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["samples_per_sec"] = imgs_since / dt
+            if vae_cache is not None:
+                metrics["vae_cache_hit_rate"] = round(vae_cache.hit_rate, 4)
             logger.log(it, metrics)
             t_last = time.time()
             imgs_since = 0

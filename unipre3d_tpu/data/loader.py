@@ -20,7 +20,10 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, shard_id: int = 0, num_shards: int = 1,
                  drop_last: bool = True, prefetch: int = 2,
-                 num_workers: int = 4):
+                 num_workers: int = 4, collate_hook=None):
+        # collate_hook(examples) -> examples runs before stacking (e.g.
+        # Mix3d, reference point_collate_fn pointcept/datasets/utils.py:61)
+        self.collate_hook = collate_hook
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,6 +63,8 @@ class Loader:
                 lambda i: self.dataset[int(i)], sel))
         else:
             examples = [self.dataset[int(i)] for i in sel]
+        if self.collate_hook is not None:
+            examples = self.collate_hook(examples)
         return self._stack(examples)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -37,6 +37,36 @@ from unipre3d_tpu.utils import camera as cam_util
 FILE_TITLE = "easy"
 TRAIN_SPLIT_RATIO = 0.75
 VAL_SPLIT_RATIO = 0.2
+CAMERA_DISTANCE = 1.75  # reference dataset/shapenet.py:36
+
+
+def generate_continuous_pose(num: int = 200) -> np.ndarray:
+    """Continuous orbit c2w poses for the test split: two pitch sweeps
+    (0->20 deg and 20->90 deg) each zipped with a full -180..180 roll —
+    2*num matrices (reference dataset/shapenet.py:747-764,
+    _calculate_transformation_matrix :674-744)."""
+    rolls = np.linspace(-180.0, 180.0, num)
+    pitches = np.concatenate([np.linspace(0.0, 20.0, num),
+                              np.linspace(20.0, 90.0, num)])
+    rolls = np.concatenate([rolls, rolls])
+    out = []
+    for roll, pitch in zip(rolls, pitches):
+        az = math.radians(roll)
+        el = math.radians(pitch - 90.0)
+        sa, ca = math.sin(az), math.cos(az)
+        se, ce = math.sin(el), math.cos(el)
+        # in-plane rotation is 0 (reference :691)
+        R = np.array([[ca, ce * sa, se * sa],
+                      [-sa, ce * ca, se * ca],
+                      [0.0, -se, ce]])
+        t = np.array([-CAMERA_DISTANCE * se * sa,
+                      -CAMERA_DISTANCE * se * ca,
+                      -CAMERA_DISTANCE * ce])
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = t
+        out.append(m)
+    return np.asarray(out, dtype=np.float64)
 
 
 def _rotation_matrix(axis_ind: int, theta: float) -> np.ndarray:
@@ -56,7 +86,9 @@ class ShapeNetDataset:
         self.num_points = int(cfg.data.get("num_points", 1024))
         self.imgs_per_obj = int(cfg.opt.imgs_per_obj)
         self.input_images = int(cfg.data.input_images)
-        assert self.input_images == 1, "only 1 conditioning view supported"
+        # V>1 conditioning routes through the model's multi-view union
+        # (reference gaussian_predictor.py:413-420); the reference LOADER
+        # only supports 1 (shapenet.py:122-127) — this one lifts that.
         self.fov = float(cfg.data.fov)
         self.znear, self.zfar = float(cfg.data.znear), float(cfg.data.zfar)
         self.aug = bool(cfg.model.aug) and split == "train"
@@ -83,6 +115,13 @@ class ShapeNetDataset:
         fov_r = math.radians(self.fov)
         self._proj = cam_util.get_projection_matrix(
             self.znear, self.zfar, fov_r, fov_r).T
+        # test split renders 400 continuous orbit poses (reference
+        # dataset/shapenet.py:59,618-628)
+        self._orbit_w2cs = None
+        if split == "test":
+            c2ws = generate_continuous_pose(200)
+            self._orbit_w2cs = np.stack(
+                [np.linalg.inv(m) for m in c2ws]).astype(np.float32)
 
     def __len__(self):
         return len(self.metadata)
@@ -155,19 +194,42 @@ class ShapeNetDataset:
 
     # ---------- getitem ----------
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        obj = self._load_object(self.metadata[index % len(self.metadata)])
-        V = obj["images"].shape[0]
+    def __getitem__(self, index: int, _retries: int = 0
+                    ) -> Dict[str, np.ndarray]:
+        try:
+            obj = self._load_object(self.metadata[index % len(self.metadata)])
+        except (AssertionError, OSError, ValueError) as e:
+            # missing/corrupt frames: resample a random other object
+            # (reference dataset/shapenet.py:512-514)
+            if _retries >= 8:
+                raise
+            print(f"Warning: {self.metadata[index % len(self.metadata)]}: "
+                  f"{e}; resampling")
+            return self.__getitem__(
+                int(np.random.randint(len(self.metadata))), _retries + 1)
+
+        if self.split == "test" and self._orbit_w2cs is not None:
+            # 400 continuous orbit poses; real renders tiled as (unused)
+            # GT placeholders (reference :250-258,618-628)
+            n_total = len(self._orbit_w2cs)
+            rate = -(-n_total // obj["images"].shape[0])
+            images = np.tile(obj["images"], (rate, 1, 1, 1))[:n_total]
+            w2cs_all = self._orbit_w2cs
+        else:
+            images = obj["images"]
+            w2cs_all = obj["w2cs"]
+        V = images.shape[0]
 
         if self.split == "train":
             sel = np.random.permutation(V)[:self.imgs_per_obj]
             idx = np.concatenate([sel[:self.input_images], sel])
         else:
-            rest = [i for i in range(V) if i != 0]
-            idx = np.asarray([0] + rest)
+            cond = list(range(self.input_images))
+            rest = [i for i in range(V) if i not in cond]
+            idx = np.asarray(cond + rest)
 
         pts = obj["points"].copy()
-        w2cs = obj["w2cs"][idx].copy()
+        w2cs = w2cs_all[idx].copy()
 
         if self.aug:
             angles = np.array([0.01, 0.01, 2.0]) * np.pi
@@ -186,6 +248,6 @@ class ShapeNetDataset:
             grav = pts[:, 1:2] - pts[:, 1].min()
             pts = np.concatenate([pts, grav], axis=1)
 
-        out = {"gt_images": obj["images"][idx], "point_cloud": pts}
+        out = {"gt_images": images[idx], "point_cloud": pts}
         out.update(cams)
         return out

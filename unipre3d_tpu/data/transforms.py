@@ -539,3 +539,73 @@ class FPS:
             if k in data_dict:
                 data_dict[k] = data_dict[k][idx]
         return data_dict
+
+
+# ---------------------------------------------------------------------------
+# Mix3d collate hook (reference pointcept/datasets/utils.py:61-72)
+# ---------------------------------------------------------------------------
+
+POINT_KEYS = ("coord", "grid_coord", "color", "normal", "segment",
+              "instance", "feat")
+
+
+def mix3d_pair(a, b, rng, point_keys=POINT_KEYS):
+    """Merge two scenes into one (Mix3D, arxiv 2110.02210). The
+    reference fuses adjacent batch entries by dropping every other
+    cumulative offset; in the static-shape schema the union of the two
+    scenes' valid points is subsampled back to the padded capacity M,
+    so batch and point dimensions stay fixed (XLA-friendly)."""
+    ref_key = next(k for k in point_keys if k in a)
+    M = a[ref_key].shape[0]
+
+    def valid(e):
+        m = e.get("mask")
+        return np.ones(M, bool) if m is None else np.asarray(m, bool)
+
+    idx_a = np.nonzero(valid(a))[0]
+    idx_b = np.nonzero(valid(b))[0]
+    sel = rng.permutation(len(idx_a) + len(idx_b))[:M]
+    take_a = idx_a[sel[sel < len(idx_a)]]
+    take_b = idx_b[sel[sel >= len(idx_a)] - len(idx_a)]
+    n = len(take_a) + len(take_b)
+
+    out = dict(a)
+    for k in point_keys:
+        if k in a and k in b:
+            merged = np.concatenate([a[k][take_a], b[k][take_b]], axis=0)
+            if n < M:
+                pad = np.zeros((M - n, *merged.shape[1:]), merged.dtype)
+                merged = np.concatenate([merged, pad], axis=0)
+            out[k] = merged
+    if "mask" in a:
+        out["mask"] = np.arange(M) < n
+    return out
+
+
+def make_mix3d_collate(mix_prob: float, seed: int = 0,
+                       point_keys=POINT_KEYS):
+    """Loader ``collate_hook``: with probability ``mix_prob`` each
+    example is merged with a random other example of the batch."""
+    rng = np.random.default_rng(seed)
+
+    def hook(examples):
+        if len(examples) < 2 or mix_prob <= 0.0:
+            return examples
+        out = []
+        for i, e in enumerate(examples):
+            if rng.random() < mix_prob:
+                j = (i + 1 + int(rng.integers(len(examples) - 1))) \
+                    % len(examples)
+                # nested point_cloud dicts (scene schema) or flat dicts
+                if "point_cloud" in e and isinstance(e["point_cloud"],
+                                                     dict):
+                    e = dict(e)
+                    e["point_cloud"] = mix3d_pair(
+                        e["point_cloud"], examples[j]["point_cloud"],
+                        rng, point_keys)
+                else:
+                    e = mix3d_pair(e, examples[j], rng, point_keys)
+            out.append(e)
+        return out
+
+    return hook

@@ -162,29 +162,55 @@ class GaussianSplatPredictor(nn.Module):
             self.intrinsic = np.asarray(
                 intrinsics_from_fov(self.fov, self.training_resolution))
 
-    def _image_features(self, image):
-        """Frozen VAE features -> image_conv. image [B*V, 3, H, W]."""
-        vae_out = self.image_network(image)
-        feat = jax.lax.stop_gradient(vae_out["decoder_block_3"])
+    def _image_features(self, image, vae_features=None):
+        """Frozen VAE features -> image_conv. image [B*V, 3, H, W].
+
+        ``vae_features`` (optional, [B*V, 128, H, W]): precomputed
+        ``decoder_block_3`` activations. The VAE is frozen and the
+        conditioning images of an example never change across epochs
+        (rotation aug rotates cloud+cameras, not pixels), so a cache of
+        these features skips ~85% of the step FLOPs; the trainable
+        ``image_conv`` still runs inside the step (gradients intact).
+        See training/feature_cache.py. Reference recomputes the frozen
+        VAE every step (model/image_predictor.py:56-81)."""
+        if vae_features is None:
+            vae_out = self.image_network(image)
+            feat = jax.lax.stop_gradient(vae_out["decoder_block_3"])
+        else:
+            feat = jax.lax.stop_gradient(
+                vae_features.astype(self.dtype))
         # image_conv is NHWC
         feat = jnp.transpose(feat, (0, 2, 3, 1))
         feat = self.image_conv(feat)
         return jnp.transpose(feat, (0, 3, 1, 2))  # [B*V, C, H, W]
 
+    def extract_vae_features(self, image):
+        """Raw frozen-VAE ``decoder_block_3`` features for the cache.
+        image [N, 3, H, W] -> [N, 128, H, W]. Exposed as an apply method:
+        ``model.apply(vars, imgs, method="extract_vae_features")``."""
+        return jax.lax.stop_gradient(
+            self.image_network(image)["decoder_block_3"])
+
     def __call__(self, point_cloud, image=None,
                  source_cameras_view_to_world=None, unprojected_coords=None,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 train: bool = False,
+                 vae_features=None) -> Dict[str, jnp.ndarray]:
         if self.level == "scene":
             return self._forward_scene(point_cloud, image,
-                                       unprojected_coords, train)
+                                       unprojected_coords, train,
+                                       vae_features)
         return self._forward_object(point_cloud, image,
-                                    source_cameras_view_to_world, train)
+                                    source_cameras_view_to_world, train,
+                                    vae_features)
 
-    def _forward_object(self, point_cloud, image, c2w, train):
+    def _forward_object(self, point_cloud, image, c2w, train,
+                        vae_features=None):
         if self.use_fusion:
             B, V = image.shape[:2]
             img = image.reshape(B * V, *image.shape[2:])
-            image_features = self._image_features(img)
+            vf = None if vae_features is None else \
+                vae_features.reshape(B * V, *vae_features.shape[2:])
+            image_features = self._image_features(img, vf)
             if V > 1:
                 # multi-view union (reference _multi_view_union,
                 # gaussian_predictor.py:413-420): run the backbone once
@@ -205,10 +231,14 @@ class GaussianSplatPredictor(nn.Module):
                  for k, v in d.items()}
         return d
 
-    def _forward_scene(self, point_cloud, image, unprojected_coords, train):
+    def _forward_scene(self, point_cloud, image, unprojected_coords, train,
+                       vae_features=None):
         B, V = image.shape[:2]
         img = image.reshape(B * V, *image.shape[2:])
-        image_features = self._image_features(img) if self.use_fusion else None
+        vf = None if vae_features is None else \
+            vae_features.reshape(B * V, *vae_features.shape[2:])
+        image_features = self._image_features(img, vf) \
+            if self.use_fusion else None
         out, coords, mask = self.point_network.forward_scene(
             point_cloud, image_features, unprojected_coords,
             self.fusion_mlps if self.use_fusion else None, train=train)

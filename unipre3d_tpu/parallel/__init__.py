@@ -1,4 +1,5 @@
 from unipre3d_tpu.parallel.mesh import (
+    batch_sharding,
     make_mesh,
     shard_batch,
     replicate,

@@ -211,6 +211,165 @@ class SemSegEvaluator(HookBase):
               f"allAcc={t.eval_metrics['val_allacc']:.4f}")
 
 
+class InsSegEvaluator(HookBase):
+    """ScanNet-protocol instance-segmentation AP (reference
+    hooks/evaluator.py:205-581): per-class greedy matching of predicted
+    instances to GT at IoU thresholds {0.5..0.9 step 0.05} U {0.25},
+    min region size 100, AP via the step-width-integrated PR curve;
+    reports mAP / AP50 / AP25.
+
+    ``trainer.predict(batch)`` must return a dict with ``pred_classes``
+    [K], ``pred_scores`` [K] and ``pred_masks`` [K, N] (binary).
+    """
+
+    def __init__(self, num_classes: int, class_names=None,
+                 segment_ignore_index=(-1,), instance_ignore_index=-1,
+                 min_region_size: int = 100):
+        self.num_classes = num_classes
+        self.class_names = list(class_names) if class_names else \
+            [str(i) for i in range(num_classes)]
+        self.segment_ignore_index = set(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+        self.overlaps = np.append(np.arange(0.5, 0.95, 0.05), 0.25)
+        self.min_region_size = min_region_size
+        self.valid_classes = [c for c in range(num_classes)
+                              if c not in self.segment_ignore_index]
+
+    def _match_scene(self, pred, segment, instance):
+        """Associate predictions with GT instances for one scene
+        (reference associate_instances, evaluator.py:227-302)."""
+        segment = np.asarray(segment).reshape(-1)
+        instance = np.asarray(instance).reshape(-1)
+        void_mask = np.isin(segment, list(self.segment_ignore_index))
+        gts = {c: [] for c in self.valid_classes}
+        ids, first, counts = np.unique(instance, return_index=True,
+                                       return_counts=True)
+        seg_of = segment[first]
+        for iid, seg, cnt in zip(ids, seg_of, counts):
+            if iid == self.instance_ignore_index or \
+                    seg in self.segment_ignore_index:
+                continue
+            gts[int(seg)].append({"id": int(iid), "verts": int(cnt),
+                                  "matched": []})
+        preds = {c: [] for c in self.valid_classes}
+        classes = np.asarray(pred["pred_classes"]).reshape(-1)
+        scores = np.asarray(pred["pred_scores"]).reshape(-1)
+        masks = np.asarray(pred["pred_masks"]).astype(bool)
+        for k in range(len(classes)):
+            c = int(classes[k])
+            if c in self.segment_ignore_index or c not in preds:
+                continue
+            mask = masks[k]
+            verts = int(mask.sum())
+            if verts < self.min_region_size:
+                continue
+            p = {"score": float(scores[k]), "verts": verts,
+                 "void": int((void_mask & mask).sum()), "matched": []}
+            for g in gts[c]:
+                inter = int(((instance == g["id"]) & mask).sum())
+                if inter > 0:
+                    p["matched"].append((g, inter))
+                    g["matched"].append((p, inter))
+            preds[c].append(p)
+        return {"gt": gts, "pred": preds}
+
+    def _ap(self, scenes):
+        """AP table [n_valid_classes, n_overlaps] (reference
+        evaluate_matches, evaluator.py:304-504)."""
+        ap = np.full((len(self.valid_classes), len(self.overlaps)),
+                     np.nan)
+        for oi, th in enumerate(self.overlaps):
+            for li, c in enumerate(self.valid_classes):
+                y_true, y_score = [], []
+                hard_fn = 0
+                has_gt = has_pred = False
+                visited = set()
+                for scene in scenes:
+                    gts = [g for g in scene["gt"][c]
+                           if g["verts"] >= self.min_region_size]
+                    preds = scene["pred"][c]
+                    has_gt |= bool(gts)
+                    has_pred |= bool(preds)
+                    # greedy GT -> pred matching by confidence
+                    for g in gts:
+                        best = None
+                        extras = []
+                        for p, inter in g["matched"]:
+                            if id(p) in visited:
+                                continue
+                            iou = inter / (g["verts"] + p["verts"] - inter)
+                            if iou > th:
+                                if best is None:
+                                    best = p
+                                elif p["score"] > best["score"]:
+                                    extras.append(best)
+                                    best = p
+                                else:
+                                    extras.append(p)
+                        if best is None:
+                            hard_fn += 1
+                        else:
+                            visited.add(id(best))
+                            y_true.append(1)
+                            y_score.append(best["score"])
+                            for p in extras:  # duplicate hits are FPs
+                                y_true.append(0)
+                                y_score.append(p["score"])
+                    # unmatched predictions are FPs unless mostly void /
+                    # small-GT overlap (ScanNet ignore rule)
+                    for p in preds:
+                        hit = any(
+                            inter / (g["verts"] + p["verts"] - inter) > th
+                            for g, inter in p["matched"])
+                        if hit:
+                            continue
+                        ignore = p["void"] + sum(
+                            inter for g, inter in p["matched"]
+                            if g["verts"] < self.min_region_size)
+                        if ignore / p["verts"] <= th:
+                            y_true.append(0)
+                            y_score.append(p["score"])
+                if not has_gt:
+                    continue
+                if not has_pred or not y_true:
+                    ap[li, oi] = 0.0
+                    continue
+                order = np.argsort(y_score)[::-1]  # descending confidence
+                yt = np.asarray(y_true)[order]
+                tp = np.cumsum(yt)
+                fp = np.cumsum(1 - yt)
+                # every GT is either a TP somewhere in the list or a
+                # hard FN, so recall denominator = total GT count
+                denom = max(int(tp[-1]) + hard_fn, 1)
+                prec = tp / np.maximum(tp + fp, 1)
+                rec = tp / denom
+                # standard step integration of the PR curve
+                prec = np.concatenate([[1.0], prec])
+                rec = np.concatenate([[0.0], rec])
+                ap[li, oi] = float(np.sum(np.diff(rec) * prec[1:]))
+        return ap
+
+    def after_epoch(self):
+        t = self.trainer
+        if t.val_loader is None:
+            return
+        scenes = []
+        for batch in t.val_loader.epoch(0):
+            pred = t.predict(batch)
+            scenes.append(self._match_scene(
+                pred, batch["segment"], batch["instance"]))
+        ap = self._ap(scenes)
+        o25 = np.isclose(self.overlaps, 0.25)
+        o50 = np.isclose(self.overlaps, 0.5)
+        m = {"val_map": float(np.nanmean(ap[:, ~o25])),
+             "val_ap50": float(np.nanmean(ap[:, o50])),
+             "val_ap25": float(np.nanmean(ap[:, o25]))}
+        t.eval_metrics.update({k: (0.0 if np.isnan(v) else v)
+                               for k, v in m.items()})
+        print(f"[finetune] epoch {t.epoch}: mAP={m['val_map']:.4f} "
+              f"AP50={m['val_ap50']:.4f} AP25={m['val_ap25']:.4f}")
+
+
 class FinetuneTrainer:
     """Epoch-based hook-driven trainer (reference engines/train.py:309).
 

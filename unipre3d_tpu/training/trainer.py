@@ -200,6 +200,7 @@ def make_train_step(cfg, model, tx):
             variables,
             *model_inputs(batch, n_in, level),
             train=True,
+            vae_features=batch.get("vae_features"),
             rngs={"droppath": rng},
             mutable=["batch_stats"] if batch_stats else [])
         if batch_stats:
