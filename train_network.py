@@ -182,12 +182,15 @@ def main():
             t_last = time.time()
             imgs_since = 0
         if it % val_log == 0 or it == iterations:
-            psnrs = []
+            psnrs, ssims = [], []
             for vb in val_loader.epoch(0):
                 res = eval_step(state, shard_batch(vb, mesh))
                 psnrs.append(float(res["psnr_novel"]))
+                ssims.append(float(res["ssim_novel"]))
             psnr_novel = float(np.mean(psnrs)) if psnrs else 0.0
-            logger.log(it, {"psnr_novel": psnr_novel}, prefix="val")
+            logger.log(it, {"psnr_novel": psnr_novel,
+                            "ssim_novel": float(np.mean(ssims))
+                            if ssims else 0.0}, prefix="val")
             if jax.process_index() == 0:
                 ckpt_lib.save_checkpoint(latest, state, best_psnr)
                 if psnr_novel > best_psnr:
@@ -203,7 +206,7 @@ def main():
                 paths = generate_test_examples(
                     model, state, cfg, test_loader, out_dir, it,
                     int(cfg.opt.get("test_generation_num", 1)))
-                logger.log(it, {"videos": ";".join(paths)}, prefix="video")
+                logger.log_videos(it, paths)
             except Exception as e:
                 print(f"[train] video generation failed: {e}")
     logger.close()

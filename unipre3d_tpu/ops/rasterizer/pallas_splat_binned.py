@@ -43,8 +43,7 @@ from unipre3d_tpu.ops.rasterizer.pallas_splat import (
     _tile_pixels)
 
 CHUNK = 512
-CAP_SPAN = 2                 # max 2x2 tile span per gaussian
-CAP = CAP_SPAN * CAP_SPAN
+CAP_SPAN = 2                 # default max 2x2 tile span per gaussian
 RANK_BITS = 20               # up to 2^20 gaussians
 INVALID_KEY = np.uint32(0xFFFFFFFF)
 
@@ -221,7 +220,7 @@ def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, gout_ref,
 
 
 def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
-                     img_h, img_w, tile_h, tile_w):
+                     img_h, img_w, tile_h, tile_w, cap_span):
     """Duplicate-and-sort (XLA side), with every tile segment padded to
     a CHUNK boundary so no data/gradient block is shared between tiles.
 
@@ -242,21 +241,22 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     tx1 = jnp.clip(jnp.floor((gx + r) / tile_w).astype(jnp.int32), 0, tx - 1)
     ty0 = jnp.clip(jnp.floor((gy - r) / tile_h).astype(jnp.int32), 0, ty - 1)
     ty1 = jnp.clip(jnp.floor((gy + r) / tile_h).astype(jnp.int32), 0, ty - 1)
-    tx1 = jnp.minimum(tx1, tx0 + CAP_SPAN - 1)
-    ty1 = jnp.minimum(ty1, ty0 + CAP_SPAN - 1)
+    cap = cap_span * cap_span
+    tx1 = jnp.minimum(tx1, tx0 + cap_span - 1)
+    ty1 = jnp.minimum(ty1, ty0 + cap_span - 1)
 
     tkeys = []
-    for k in range(CAP):
-        ddx, ddy = k % CAP_SPAN, k // CAP_SPAN
+    for k in range(cap):
+        ddx, ddy = k % cap_span, k // cap_span
         t_x = tx0 + ddx
         t_y = ty0 + ddy
         ok = valid & (t_x <= tx1) & (t_y <= ty1)
         tile_id = (t_y * tx + t_x).astype(jnp.uint32)
         tkeys.append(jnp.where(ok, tile_id, INVALID_KEY))
     tkeys = jnp.concatenate(tkeys)                      # [M]
-    M = N * CAP
+    M = N * cap
     slots = jnp.arange(M, dtype=jnp.int32)
-    depth_b = jnp.tile(depth.astype(jnp.float32), CAP)
+    depth_b = jnp.tile(depth.astype(jnp.float32), cap)
     tkeys_s, _, slots_s = jax.lax.sort(
         (tkeys, depth_b, slots), num_keys=2)
     dup_ok = tkeys_s != INVALID_KEY
@@ -284,7 +284,7 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
 
     # emission -> layout slot map via the sort permutation (scatter)
     pos = jnp.full((M,), M_pad, jnp.int32).at[slots_s].set(new_pos)
-    pos = pos.reshape(CAP, N)
+    pos = pos.reshape(cap, N)
 
     data = _pack(mean2d, conic, color,
                  jnp.where(valid, opacity, 0.0), N)
@@ -395,32 +395,34 @@ def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _binned(mean2d, conic, color, opacity, depth, radius, valid, bg,
-            img_h, img_w, tile_h, tile_w, maxc):
+            img_h, img_w, tile_h, tile_w, maxc, cap_span):
     return _binned_fwd(mean2d, conic, color, opacity, depth, radius,
-                       valid, bg, img_h, img_w, tile_h, tile_w, maxc)[0]
+                       valid, bg, img_h, img_w, tile_h, tile_w, maxc,
+                       cap_span)[0]
 
 
 def _binned_fwd(mean2d, conic, color, opacity, depth, radius, valid, bg,
-                img_h, img_w, tile_h, tile_w, maxc):
+                img_h, img_w, tile_h, tile_w, maxc, cap_span):
     data_dup, pos, seg = _prep_duplicates(
         mean2d, conic, color, opacity, depth, radius, valid,
-        img_h, img_w, tile_h, tile_w)
+        img_h, img_w, tile_h, tile_w, cap_span)
     tiles, logt = _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w,
                                    tile_h, tile_w, maxc)
     return tiles, (data_dup, pos, seg, bg, logt)
 
 
-def _binned_bwd(img_h, img_w, tile_h, tile_w, maxc, res, g_tiles):
+def _binned_bwd(img_h, img_w, tile_h, tile_w, maxc, cap_span, res,
+                g_tiles):
     data_dup, pos, seg, bg, logt = res
     dd = _run_bwd_kernel(data_dup, seg, bg, logt, g_tiles,
                          img_h, img_w, tile_h, tile_w, maxc)
-    # per-gaussian grads: CAP gathers through the emission->slot map
-    # (the dump slot M_pad indexes a zero column)
+    # per-gaussian grads: cap_span^2 gathers through the emission->slot
+    # map (the dump slot M_pad indexes a zero column)
     dd = jnp.pad(dd, ((0, 0), (0, 1)))
     dG = 0.0
-    for k in range(CAP):
+    for k in range(cap_span * cap_span):
         dG = dG + jnp.take(dd, pos[k], axis=1)          # [16, N]
     d_mean = jnp.stack([dG[0], dG[1]], axis=1)
     d_conic = jnp.stack([dG[2], dG[3], dG[4]], axis=1)
@@ -437,17 +439,26 @@ _binned.defvjp(_binned_fwd, _binned_bwd)
 def rasterize_projected_pallas_binned(pg, bg_color, img_h: int,
                                       img_w: int, tile_h: int = 16,
                                       tile_w: int = 16,
-                                      max_per_tile: int = 16384
+                                      max_per_tile: int = 16384,
+                                      cap_span: int = CAP_SPAN
                                       ) -> jnp.ndarray:
     """Binned Pallas rasterizer (duplicate-sort-stream). ``max_per_tile``
-    caps the composited duplicates per tile (farthest dropped)."""
+    caps the composited duplicates per tile (farthest dropped).
+
+    ``cap_span`` caps each gaussian's tile footprint at cap_span^2
+    tiles; gaussians with a larger screen radius lose the contribution
+    beyond that span (the CUDA reference duplicates across the FULL
+    span, forward.cu duplicateWithKeys). The default 2 is exact for
+    radius <= tile size; raise it (4 covers radius <= 3 tiles) when
+    rendering large splats — prep cost grows with cap_span^2."""
     assert img_h % tile_h == 0 and img_w % tile_w == 0
     maxc = -(-max_per_tile // CHUNK)
     bg = jnp.asarray(bg_color, jnp.float32).reshape(3, 1)
     tiles = _binned(pg.mean2d, pg.conic, pg.color,
                     jnp.where(pg.valid, pg.opacity, 0.0),
                     jax.lax.stop_gradient(pg.depth), pg.radius, pg.valid,
-                    bg, img_h, img_w, tile_h, tile_w, maxc)
+                    bg, img_h, img_w, tile_h, tile_w, maxc,
+                    int(cap_span))
     ty, tx = img_h // tile_h, img_w // tile_w
     img = tiles.reshape(ty, tx, 3, tile_h, tile_w)
     return img.transpose(2, 0, 3, 1, 4).reshape(3, img_h, img_w)

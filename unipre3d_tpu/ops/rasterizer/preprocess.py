@@ -87,19 +87,26 @@ def preprocess_gaussians(
     opacities = opacities.reshape(N).astype(f32)
 
     # --- world -> view / clip (row-vector convention) ---
-    ones = jnp.ones((N, 1), dtype=f32)
-    p_hom = jnp.concatenate([means3d, ones], axis=1)
-    hp = jax.lax.Precision.HIGHEST
-    p_view = jnp.matmul(p_hom, world_view.astype(f32), precision=hp)  # [N, 4]
-    p_clip = jnp.matmul(p_hom, full_proj.astype(f32), precision=hp)   # [N, 4]
-    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
-    p_ndc = p_clip[:, :3] * p_w[:, None]
+    # explicit elementwise expansion: [N,4] @ [4,4] batched-tiny matmuls
+    # under the (batch, view) vmaps are ~10x slower on the 128x128 MXU
+    # than broadcast multiply-adds (same trap as the covariance einsums)
+    wv = world_view.astype(f32)
+    fp4 = full_proj.astype(f32)
 
-    depth = p_view[:, 2]
+    def xform(m):  # rows of p_hom . m, with the implicit 1 * m[3]
+        return [means3d[:, 0] * m[0, j] + means3d[:, 1] * m[1, j]
+                + means3d[:, 2] * m[2, j] + m[3, j] for j in range(4)]
+
+    pv = xform(wv)
+    pc = xform(fp4)
+    p_view = jnp.stack(pv, axis=1)                                    # [N, 4]
+    p_w = 1.0 / (pc[3] + 1e-7)
+
+    depth = pv[2]
     in_front = depth > NEAR_CULL_Z
 
-    mean2d = jnp.stack([ndc2pix(p_ndc[:, 0], img_w),
-                        ndc2pix(p_ndc[:, 1], img_h)], axis=1)
+    mean2d = jnp.stack([ndc2pix(pc[0] * p_w, img_w),
+                        ndc2pix(pc[1] * p_w, img_h)], axis=1)
 
     # --- EWA: project 3D covariance to screen space ---
     # Explicit elementwise expansion of J W (R S^2 R^T) W^T J^T: with

@@ -56,6 +56,14 @@ class Logger:
             return
         flat = {f"{prefix}/{k}": (float(v) if hasattr(v, "__float__") else v)
                 for k, v in metrics.items()}
+        # log10-scaled loss scalars alongside raw values (reference
+        # logger.py:113-159 logs log10(loss + 1e-8) for every loss term)
+        for k, v in list(flat.items()):
+            base = k.split("/")[-1]
+            if isinstance(v, float) and (base == "loss" or
+                                         base.endswith("_loss") or
+                                         base == "lpips"):
+                flat[f"{k}_log10"] = math.log10(max(v, 0.0) + 1e-8)
         flat["step"] = int(step)
         flat["wall_s"] = round(time.time() - self._t0, 1)
         self.jsonl.write(json.dumps(flat) + "\n")
@@ -65,6 +73,22 @@ class Logger:
         print(f"[{prefix}] {msg}", flush=True)
         if self.wandb:
             self.wandb.log(flat, step=int(step))
+
+    def log_videos(self, step: int, paths, fps: int = 14):
+        """Upload rendered test videos to wandb when online (reference
+        logger.py:161-267 wandb.Video path); local mp4 paths are always
+        logged to the jsonl either way."""
+        if not self.is_main:
+            return
+        self.log(step, {"videos": ";".join(paths)}, prefix="video")
+        if self.wandb:
+            try:
+                self.wandb.log(
+                    {f"test_video_{i}": self.wandb.Video(p, fps=fps,
+                                                         format="mp4")
+                     for i, p in enumerate(paths)}, step=int(step))
+            except Exception as e:
+                print(f"[logger] wandb video upload failed: {e}")
 
     def close(self):
         if self.is_main:

@@ -92,6 +92,51 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
 
     mask = gaussians.get("mask")
 
+    shs = jnp.concatenate([gaussians["features_dc"],
+                           gaussians["features_rest"]], axis=2)
+    if mask is None:
+        mask_b = jnp.ones(gaussians["xyz"].shape[:2], dtype=bool)
+    else:
+        mask_b = mask
+    wvs = batch["world_view_transforms"][:, n_in:]
+    fps = batch["full_proj_transforms"][:, n_in:]
+    ccs = batch["camera_centers"][:, n_in:]
+
+    N = gaussians["xyz"].shape[1]
+    impl_train = str(cfg.tpu.get("raster_impl_train", "auto")) \
+        if "tpu" in cfg else "auto"
+    use_dense = impl_train == "pallas_dense" or \
+        (impl_train == "auto" and N <= 4096)
+    if use_dense:
+        # ONE Pallas launch for all B*V renders (dense small-N path;
+        # the reference runs a Python double loop of CUDA launches,
+        # train_network.py:417-443); custom analytic VJP keeps only the
+        # packed [R,16,N] table as residual — no jax.checkpoint needed
+        from unipre3d_tpu.ops.rasterizer.pallas_splat_dense import \
+            rasterize_dense_batched
+        from unipre3d_tpu.ops.rasterizer.preprocess import \
+            preprocess_gaussians
+
+        def prep_one(xyz, opa, scale, rot, sh, m, wv, fp, cc):
+            return preprocess_gaussians(
+                xyz, opa, scale, rot, sh, wv, fp, cc, img_h, img_w,
+                tanfov, tanfov, int(cfg.model.max_sh_degree),
+                gaussian_mask=m)
+
+        per_view = jax.vmap(prep_one,
+                            in_axes=(None,) * 6 + (0, 0, 0))
+        per_batch = jax.vmap(per_view, in_axes=(0,) * 9)
+        pg = per_batch(gaussians["xyz"], gaussians["opacity"][..., 0],
+                       gaussians["scaling"], gaussians["rotation"], shs,
+                       mask_b, wvs, fps, ccs)
+        B, Vs = pg.opacity.shape[:2]
+        flat = jax.tree_util.tree_map(
+            lambda a: a.reshape(B * Vs, *a.shape[2:]), pg)
+        imgs = rasterize_dense_batched(
+            flat.mean2d, flat.conic, flat.color, flat.opacity,
+            flat.depth, flat.valid, bg_color, img_h, img_w)
+        return imgs.reshape(B, Vs, 3, img_h, img_w)
+
     def render_one(g_xyz, g_opa, g_scale, g_rot, g_sh, g_mask, wv, fp, cc):
         out = rasterize(
             g_xyz, g_opa, g_scale, g_rot, g_sh, wv, fp, cc,
@@ -102,12 +147,6 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
         return out["render"]
 
     render_one = jax.checkpoint(render_one)
-    shs = jnp.concatenate([gaussians["features_dc"],
-                           gaussians["features_rest"]], axis=2)
-    if mask is None:
-        mask_b = jnp.ones(gaussians["xyz"].shape[:2], dtype=bool)
-    else:
-        mask_b = mask
 
     # vmap over supervision views (gaussians broadcast), then over batch
     per_view = jax.vmap(render_one,
@@ -117,9 +156,7 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
     return per_batch(
         gaussians["xyz"], gaussians["opacity"][..., 0],
         gaussians["scaling"], gaussians["rotation"], shs, mask_b,
-        batch["world_view_transforms"][:, n_in:],
-        batch["full_proj_transforms"][:, n_in:],
-        batch["camera_centers"][:, n_in:])
+        wvs, fps, ccs)
 
 
 def compute_loss(rendered: jnp.ndarray, gt: jnp.ndarray, cfg,
@@ -287,9 +324,18 @@ def make_eval_step(cfg, model, use_ema: bool = True):
         gt = batch["gt_images"]
         mse = jnp.mean((rendered - gt) ** 2, axis=(2, 3, 4))  # [B, V]
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        # SSIM logged at every val like the reference (eval.py:169-176);
+        # checkpoint selection stays on PSNR_novel (train_network.py:491)
+        B, V = rendered.shape[:2]
+        flat_r = rendered.reshape(B * V, *rendered.shape[2:])
+        flat_g = gt.reshape(B * V, *gt.shape[2:])
+        ssim_bv = loss_lib.ssim(flat_r, flat_g,
+                                size_average=False).reshape(B, V)
         return {
             "psnr_cond": psnr[:, :n_in].mean(),
             "psnr_novel": psnr[:, n_in:].mean(),
+            "ssim_cond": ssim_bv[:, :n_in].mean(),
+            "ssim_novel": ssim_bv[:, n_in:].mean(),
             "rendered": rendered,
         }
 
