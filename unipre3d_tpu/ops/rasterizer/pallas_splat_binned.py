@@ -274,8 +274,16 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     M_pad = M + n_tiles * CHUNK  # static upper bound for the re-layout
 
     slot_tile = jnp.clip(tkeys_s.astype(jnp.int32), 0, n_tiles - 1)
-    pos_in_tile = jnp.arange(M) - jnp.take(seg_raw, slot_tile)
-    new_pos = jnp.take(seg, slot_tile) + pos_in_tile
+
+    def tiny_lookup(table, idx):
+        # element gathers are serialized on TPU (~2.7 ms at 400k); a
+        # fused compare-sum against the 64-entry table is ~free
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        return jnp.sum(jnp.where(idx[:, None] == tids[None, :],
+                                 table[None, :n_tiles], 0), axis=1)
+
+    pos_in_tile = jnp.arange(M) - tiny_lookup(seg_raw, slot_tile)
+    new_pos = tiny_lookup(seg, slot_tile) + pos_in_tile
     new_pos = jnp.where(dup_ok, new_pos, M_pad)  # invalid -> dump slot
 
     gauss_s = slots_s % N
