@@ -541,6 +541,387 @@ class FPS:
         return data_dict
 
 
+_FILTER_KEYS = ("coord", "grid_coord", "color", "normal", "segment",
+                "instance", "strength", "displacement", "feat")
+
+
+def _select_points(data_dict, idx, keys=_FILTER_KEYS):
+    for k in keys:
+        if k in data_dict:
+            data_dict[k] = data_dict[k][idx]
+    return data_dict
+
+
+@register
+class Copy:
+    """Snapshot keys under new names, e.g. coord -> origin_coord
+    (reference :59-73)."""
+
+    def __init__(self, keys_dict=None):
+        if keys_dict is None:
+            keys_dict = dict(coord="origin_coord", segment="origin_segment")
+        self.keys_dict = keys_dict
+
+    def __call__(self, data_dict):
+        for src, dst in self.keys_dict.items():
+            v = data_dict[src]
+            data_dict[dst] = v.copy() if isinstance(v, np.ndarray) \
+                else __import__("copy").deepcopy(v)
+        return data_dict
+
+
+@register
+class Add:
+    """Inject constant keys into the example (reference :105-114)."""
+
+    def __init__(self, keys_dict=None):
+        self.keys_dict = keys_dict or {}
+
+    def __call__(self, data_dict):
+        data_dict.update(self.keys_dict)
+        return data_dict
+
+
+@register
+class PointClip:
+    """Clamp coords to an axis-aligned range (reference :240-250)."""
+
+    def __init__(self, point_cloud_range=(-80, -80, -3, 80, 80, 1)):
+        self.range = np.asarray(point_cloud_range, dtype=np.float32)
+
+    def __call__(self, data_dict):
+        data_dict["coord"] = np.clip(
+            data_dict["coord"], a_min=self.range[:3], a_max=self.range[3:])
+        return data_dict
+
+
+@register
+class PointRangeFilter:
+    """Drop points outside the range; re-indexes ``sampled_index``
+    (reference :253-286)."""
+
+    def __init__(self, point_cloud_range=(-80, -80, -3, 80, 80, 1),
+                 padding=0.0):
+        self.range = np.asarray(point_cloud_range, dtype=np.float32)
+        self.padding = padding
+
+    def __call__(self, data_dict):
+        c = data_dict["coord"]
+        lo = self.range[:3] + self.padding
+        hi = self.range[3:] - self.padding
+        idx = np.nonzero(np.all((c > lo) & (c < hi), axis=1))[0]
+        if "sampled_index" in data_dict:
+            # data-efficient ScanNet: labeled points must survive
+            idx = np.unique(np.append(idx, data_dict["sampled_index"]))
+            mask = np.zeros(len(data_dict["segment"]), dtype=bool)
+            mask[data_dict["sampled_index"]] = True
+            data_dict["sampled_index"] = np.nonzero(mask[idx])[0]
+        return _select_points(data_dict, idx)
+
+
+@register
+class ProjectOnImage:
+    """Per-view pixel coords + visibility mask for every point; optional
+    z-buffer overlap filter keeps only the closest point per pixel
+    (reference :290-337)."""
+
+    def __init__(self, filter_overlap=True, close_radius=0.0):
+        self.filter_overlap = filter_overlap
+        self.close_radius = close_radius
+
+    def __call__(self, data_dict):
+        imgs = data_dict["img"]
+        lidar2img = data_dict["lidar2img"]
+        coord_h = np.concatenate(
+            [data_dict["coord"],
+             np.ones_like(data_dict["coord"][:, :1])], axis=-1)
+        img_coord, proj_mask = [], []
+        for img, l2i in zip(imgs, lidar2img):
+            pc = coord_h @ np.asarray(l2i).T
+            eps = 1e-5
+            pc[:, :2] /= np.maximum(pc[:, 2:3], eps)
+            m = ((np.linalg.norm(coord_h[:, :2], axis=-1) > self.close_radius)
+                 & (pc[:, 2] > eps)
+                 & (pc[:, 0] > 0) & (pc[:, 1] > 0)
+                 & (pc[:, 0] < img.shape[1]) & (pc[:, 1] < img.shape[0]))
+            if self.filter_overlap:
+                sel = np.nonzero(m)[0]
+                pix = pc[sel, :2].astype(np.int32)
+                rank = pix[:, 0] + pix[:, 1] * img.shape[1]
+                order = np.argsort(rank + pc[sel, 2] / 100.0)
+                r_sorted = rank[order]
+                keep = np.ones(len(r_sorted), dtype=bool)
+                keep[1:] = r_sorted[1:] != r_sorted[:-1]
+                m[sel[order[~keep]]] = False
+            img_coord.append(pc[:, :3])
+            proj_mask.append(m)
+        data_dict["img_coord"] = img_coord
+        data_dict["img_proj_mask"] = proj_mask
+        return data_dict
+
+
+@register
+class RaySample:
+    """Sample camera->point rays from visible points, fetching pixel
+    color and segment labels (reference :341-400)."""
+
+    def __init__(self, point_nsample=None, point_ratio=None,
+                 fetch_color=True, fetch_segment=True):
+        self.point_nsample = point_nsample
+        self.point_ratio = point_ratio
+        self.fetch_color = fetch_color
+        self.fetch_segment = fetch_segment
+
+    def __call__(self, data_dict):
+        starts, ends, colors, segs = [], [], [], []
+        for i, mask in enumerate(data_dict["img_proj_mask"]):
+            vis = np.nonzero(mask)[0]
+            n = min(len(vis),
+                    int(len(vis) * self.point_ratio)
+                    if self.point_nsample is None else self.point_nsample)
+            if n == 0:
+                continue
+            vis = vis[np.random.choice(len(vis), n, replace=False)]
+            cam_origin = np.linalg.inv(
+                np.asarray(data_dict["lidar2cam"][i]))[:3, 3]
+            starts.append(np.repeat(cam_origin[None], n, axis=0))
+            ends.append(data_dict["coord"][vis])
+            if self.fetch_segment:
+                segs.append(data_dict["segment"][vis])
+            if self.fetch_color:
+                pc = data_dict["img_coord"][i][vis]
+                img = data_dict["img"][i]
+                colors.append(img[pc[:, 1].astype(np.int32),
+                                  pc[:, 0].astype(np.int32)] / 255.0)
+        data_dict["ray_start"] = np.concatenate(starts, axis=0)
+        data_dict["ray_end"] = np.concatenate(ends, axis=0)
+        if self.fetch_segment:
+            data_dict["ray_segment"] = np.concatenate(segs, axis=0)
+        if self.fetch_color:
+            data_dict["ray_color"] = np.concatenate(colors, axis=0)
+        return data_dict
+
+
+def _rgb2hsv(rgb):
+    """Vectorized rgb([0,1])->hsv, torchvision convention
+    (reference :871-888)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = np.max(rgb, axis=-1)
+    minc = np.min(rgb, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    s = cr / (eqc + maxc * (1 - eqc))
+    crd = eqc + cr * (1 - eqc)
+    rc, gc, bc = (maxc - r) / crd, (maxc - g) / crd, (maxc - b) / crd
+    h = ((maxc == r) * (bc - gc)
+         + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
+         + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc))
+    h = (h / 6.0 + 1.0) % 1.0
+    return np.stack((h, s, maxc), axis=-1)
+
+
+def _hsv2rgb(hsv):
+    """Inverse of :func:`_rgb2hsv` (reference :891-908)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = (h * 6.0) - i
+    i = i.astype(np.int32) % 6
+    p = np.clip(v * (1.0 - s), 0.0, 1.0)
+    q = np.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = np.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    sel = i[..., None] == np.arange(6)
+    r = np.stack((v, q, p, p, t, v), axis=-1)
+    g = np.stack((t, v, v, q, p, p), axis=-1)
+    b = np.stack((p, p, t, v, v, q), axis=-1)
+    return np.stack([(sel * c).sum(-1) for c in (r, g, b)], axis=-1)
+
+
+@register
+class RandomColorJitter:
+    """Torchvision-style brightness/contrast/saturation/hue jitter in a
+    random op order, each applied with prob p; also jitters the paired
+    ``rgb`` image when present (reference :818-1022)."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0,
+                 p=0.95):
+        self.brightness = self._rng_range(brightness)
+        self.contrast = self._rng_range(contrast)
+        self.saturation = self._rng_range(saturation)
+        self.hue = self._rng_range(hue, center=0.0, clip_zero=False)
+        self.p = p
+
+    @staticmethod
+    def _rng_range(value, center=1.0, clip_zero=True):
+        if isinstance(value, (int, float)):
+            lo, hi = center - float(value), center + float(value)
+            if clip_zero:
+                lo = max(lo, 0.0)
+        else:
+            lo, hi = value
+        return None if lo == hi == center else (lo, hi)
+
+    @staticmethod
+    def _blend(c1, c2, ratio):
+        return (ratio * c1 + (1.0 - ratio) * c2).clip(0, 255.0) \
+            .astype(c1.dtype)
+
+    def _each(self, data_dict, fn):
+        for k in ("color", "rgb"):
+            if k in data_dict:
+                data_dict[k] = fn(data_dict[k])
+        return data_dict
+
+    def __call__(self, data_dict):
+        for op in np.random.permutation(4):
+            rng = (self.brightness, self.contrast,
+                   self.saturation, self.hue)[op]
+            if rng is None or np.random.rand() >= self.p:
+                continue
+            f = np.random.uniform(*rng)
+            if op == 0:
+                self._each(data_dict,
+                           lambda c: self._blend(c, np.zeros_like(c), f))
+            elif op == 1:
+                gray = np.mean(
+                    data_dict["color"] @ np.array([0.299, 0.587, 0.114]))
+                self._each(data_dict, lambda c: self._blend(c, gray, f))
+            elif op == 2:
+                self._each(
+                    data_dict,
+                    lambda c: self._blend(
+                        c, (c @ np.array([0.299, 0.587, 0.114]))[..., None],
+                        f))
+            else:
+                def hue_shift(c):
+                    hsv = _rgb2hsv(np.asarray(c, np.float64) / 255.0)
+                    hsv[..., 0] = (hsv[..., 0] + f) % 1.0
+                    return (_hsv2rgb(hsv) * 255.0).astype(c.dtype)
+                self._each(data_dict, hue_shift)
+        return data_dict
+
+
+@register
+class HueSaturationTranslation:
+    """Additive hue + multiplicative saturation shift in colorsys HSV
+    space, shared across color and rgb keys (reference :1026-1097)."""
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    def __call__(self, data_dict):
+        if "color" not in data_dict:
+            return data_dict
+        hue = (np.random.rand() - 0.5) * 2 * self.hue_max
+        sat = 1 + (np.random.rand() - 0.5) * 2 * self.saturation_max
+        for k in ("color", "rgb"):
+            if k not in data_dict:
+                continue
+            c = data_dict[k]
+            hsv = _rgb2hsv(np.asarray(c[..., :3], np.float64) / 255.0)
+            hsv[..., 0] = (hue + hsv[..., 0] + 1) % 1.0
+            hsv[..., 1] = np.clip(sat * hsv[..., 1], 0, 1)
+            data_dict[k][..., :3] = np.clip(
+                _hsv2rgb(hsv) * 255.0, 0, 255).astype(c.dtype)
+        return data_dict
+
+
+@register
+class RandomColorDrop:
+    """With prob p scale colors by color_augment (usually 0 — drop)
+    (reference :1101-1109)."""
+
+    def __init__(self, p=0.2, color_augment=0.0):
+        self.p = p
+        self.color_augment = color_augment
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            data_dict["color"] = data_dict["color"] * self.color_augment
+        return data_dict
+
+
+@register
+class ShufflePoint:
+    """Random permutation of all per-point arrays (reference :1431-1450)."""
+
+    def __call__(self, data_dict):
+        idx = np.random.permutation(len(data_dict["coord"]))
+        return _select_points(data_dict, idx)
+
+
+@register
+class CropBoundary:
+    """Drop wall(0)/floor(1) points (reference :1454-1471)."""
+
+    def __call__(self, data_dict):
+        seg = data_dict["segment"].reshape(-1)
+        return _select_points(data_dict, (seg != 0) & (seg != 1))
+
+
+@register
+class ContrastiveViewsGenerator:
+    """Two independently-augmented views of the listed keys, prefixed
+    view1_/view2_ (reference :1475-1496). ``view_trans`` accepts
+    transform instances or ``(name, kwargs)`` registry configs."""
+
+    def __init__(self, view_keys=("coord", "color", "normal",
+                                  "origin_coord"), view_trans=()):
+        self.view_keys = view_keys
+        built = [t if not isinstance(t, (tuple, list))
+                 else TRANSFORMS[t[0]](**(t[1] if len(t) > 1 else {}))
+                 for t in view_trans]
+        self.view_trans = Compose(built)
+
+    def __call__(self, data_dict):
+        for prefix in ("view1_", "view2_"):
+            view = {k: data_dict[k].copy() for k in self.view_keys}
+            for k, v in self.view_trans(view).items():
+                data_dict[prefix + k] = v
+        return data_dict
+
+
+@register
+class InstanceParser:
+    """Re-index instances densely, attach per-point centroids and
+    per-instance 8-dim bboxes [center(3), size(3), theta, class]
+    (reference :1500-1543)."""
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1),
+                 instance_ignore_index=-1):
+        self.segment_ignore_index = segment_ignore_index
+        self.instance_ignore_index = instance_ignore_index
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        segment = data_dict["segment"]
+        instance = np.array(data_dict["instance"])
+        mask = ~np.isin(segment, self.segment_ignore_index)
+        instance[~mask] = self.instance_ignore_index
+        unique, inverse = np.unique(instance[mask], return_inverse=True)
+        instance[mask] = inverse
+        n_inst = len(unique)
+        centroid = np.full((len(coord), 3), self.instance_ignore_index,
+                           dtype=np.float64)
+        bbox = np.full((n_inst, 8), self.instance_ignore_index,
+                       dtype=np.float64)
+        vacancy = [i for i in self.segment_ignore_index if i >= 0]
+        for inst_id in range(n_inst):
+            m = instance == inst_id
+            pts = coord[m]
+            lo, hi = pts.min(0), pts.max(0)
+            cls = float(segment[m][0])
+            # dense class ids: skip the ignored (vacated) classes below it
+            cls -= float(np.greater(cls, vacancy).sum())
+            centroid[m] = pts.mean(0)
+            bbox[inst_id] = np.concatenate(
+                [(hi + lo) / 2, hi - lo, [0.0], [cls]])
+        data_dict["instance"] = instance
+        data_dict["instance_centroid"] = centroid
+        data_dict["bbox"] = bbox
+        return data_dict
+
+
 # ---------------------------------------------------------------------------
 # Mix3d collate hook (reference pointcept/datasets/utils.py:61-72)
 # ---------------------------------------------------------------------------
