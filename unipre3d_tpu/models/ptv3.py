@@ -190,6 +190,11 @@ class PointTransformerV3(nn.Module):
     shuffle_orders: bool = True
     grid_size: float = 0.02
     pixel_capacity: int = 4096
+    # stride-2 pooling capacity shrink factor: measured occupancy drop
+    # on surface-dominated scans is 3.6-4.5x per level (room-scene
+    # study, round 2); 3 keeps >=20% headroom while cutting deep-stage
+    # attention/neighbor padding ~(3/2)^s vs the old halving.
+    pool_capacity_div: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -263,7 +268,8 @@ class PointTransformerV3(nn.Module):
         for s in range(n_stages):
             if s > 0:
                 # SerializedPooling: cluster by coords>>1, proj+max reduce
-                cap_out = -(-max(caps[-1] // 2, self.patch_size)
+                cap_out = -(-max(caps[-1] // self.pool_capacity_div,
+                                 self.patch_size)
                             // self.patch_size) * self.patch_size
                 caps.append(cap_out)
                 cl = jax.vmap(lambda c, m: sp.pool_clusters(c, m, cap_out))(

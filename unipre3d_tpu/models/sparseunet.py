@@ -218,7 +218,14 @@ class SpUNet(nn.Module):
     layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
     grid_size: float = 0.02
     pixel_capacity: int = 4096     # extra voxel slots for fused pixels
-    level_capacity_div: Sequence[int] = (2, 4, 8, 16)
+    # static per-level voxel capacity = M // div. Indoor scans are
+    # surface-dominated: measured stride-2 occupancy drop is 3.6-4.5x
+    # per level (room-scene study, round 2), so (2,4,8,16) carried up
+    # to 17x padding at the deep levels; (3,9,27,81) keeps >=30%
+    # headroom over the measured occupancy while cutting deep-level
+    # compute 2-5x. Parents beyond capacity drop deterministically
+    # (ops/sparse.py:downsample).
+    level_capacity_div: Sequence[int] = (3, 9, 27, 81)
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -42,7 +42,7 @@ from unipre3d_tpu.ops.rasterizer.pallas_splat import (
     ALPHA_MAX, ALPHA_MIN, LOG_T_EPS, ROWS, _cumsum_lanes, _pack,
     _tile_pixels)
 
-CHUNK = 512
+CHUNK = 1024
 CAP_SPAN = 2                 # default max 2x2 tile span per gaussian
 RANK_BITS = 20               # up to 2^20 gaussians
 INVALID_KEY = np.uint32(0xFFFFFFFF)
@@ -112,56 +112,37 @@ def _fwd_kernel(seg_ref, data_ref, bg_ref, out_ref, logt_ref,
         logt_ref[0] = logt_s[:]
 
 
-def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, gout_ref,
-                dgrad_ref, blkt_s, tot_s, pref_s,
+def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, tot_ref, gout_ref,
+                dgrad_ref, logt_s, pref_s,
                 *, maxc, tx, tile_h, tile_w, n_blocks_total):
+    """Single-phase backward: the total color-grad inner product ``tot``
+    (phase A of the two-pass formulation) is supplied precomputed from
+    the forward residuals — tot = sum_c g_out[c] * (out[c] - bg[c]*T_fin)
+    — and the block-entry logT prefix is accumulated on the fly."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     P = tile_h * tile_w
     px, py = _tile_pixels(i, tx, tile_h, tile_w)
-    phase_b = j >= maxc
-    jj = jnp.where(phase_b, j - maxc, j)
 
     @pl.when(j == 0)
     def _():
-        blkt_s[:] = jnp.zeros_like(blkt_s)
-        tot_s[:] = jnp.zeros_like(tot_s)
+        logt_s[:] = jnp.zeros_like(logt_s)
         pref_s[:] = jnp.zeros_like(pref_s)
 
     start = seg_ref[i]
     end = seg_ref[i + 1]
-    blk = _blk_index(i, jj, seg_ref, n_blocks_total)
-    in_range = (start // CHUNK + jj) * CHUNK < end
+    blk = _blk_index(i, j, seg_ref, n_blocks_total)
+    in_range = (start // CHUNK + j) * CHUNK < end
+    live = jnp.max(logt_s[:]) >= LOG_T_EPS
     g_pix = gout_ref[0]                                 # [3, P]
 
     # every real grad block is written exactly once (by its in-range
-    # phase-B program; segments are CHUNK-aligned so blocks are never
-    # shared between tiles); all other programs are routed to the dump
-    # block and write zeros so no garbage is flushed.
+    # program; segments are CHUNK-aligned so blocks are never shared
+    # between tiles); all other programs are routed to the dump block
+    # and write zeros so no garbage is flushed.
     dgrad_ref[:, :] = jnp.zeros_like(dgrad_ref)
 
-    @pl.when(in_range & jnp.logical_not(phase_b))
-    def _():
-        # phase A: record block-entry logT, accumulate total u
-        g = data_ref[:, :]
-        col = blk * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1)
-        in_seg = (col >= start) & (col < end)
-        alpha, log1m, *_ = _alpha_masked(g, px, py, in_seg)
-        logT = pref_s[:]
-        blkt_s[pl.ds(jj, 1), :] = logT
-        cum = _cumsum_lanes(log1m) + jnp.transpose(logT)
-        contrib = cum >= LOG_T_EPS
-        t_before = jnp.exp(cum - log1m)
-        w = jnp.where(contrib, alpha * t_before, 0.0)
-        cg = jax.lax.dot_general(
-            g_pix, g[6:9, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [P, C]
-        tot_s[:] += jnp.sum(w * cg, axis=1)[None, :]
-        pref_s[:] = logT + jnp.sum(
-            jnp.where(contrib, log1m, 0.0), axis=1)[None, :]
-
-    @pl.when(in_range & phase_b)
+    @pl.when(in_range & live)
     def _():
         g = data_ref[:, :]
         col = blk * CHUNK + jax.lax.broadcasted_iota(
@@ -169,7 +150,7 @@ def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, gout_ref,
         in_seg = (col >= start) & (col < end)
         alpha, log1m, dx, dy, power, skip = _alpha_masked(
             g, px, py, in_seg)
-        logT = blkt_s[pl.ds(jj, 1), :]                  # [1, P]
+        logT = logt_s[:]                                # [1, P]
         cum = _cumsum_lanes(log1m) + jnp.transpose(logT)
         contrib = cum >= LOG_T_EPS
         t_before = jnp.exp(cum - log1m)
@@ -178,18 +159,15 @@ def _bwd_kernel(seg_ref, data_ref, bg_ref, logt_ref, gout_ref,
             g_pix, g[6:9, :], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         u = w * cg
-
-        @pl.when(jj == 0)
-        def _():
-            # reset the running inclusive-prefix accumulator for phase B
-            pref_s[:] = jnp.zeros_like(pref_s)
+        logt_s[:] = logT + jnp.sum(
+            jnp.where(contrib, log1m, 0.0), axis=1)[None, :]
 
         prefix_in = pref_s[:]                           # [1, P]
         incl = _cumsum_lanes(u) + jnp.transpose(prefix_in)  # [P, C]
         pref_s[:] = prefix_in + jnp.sum(u, axis=1)[None, :]
 
         # s_i = total - inclusive prefix; tb = T_final * (bg . g)
-        s_i = jnp.transpose(tot_s[:]) - incl            # [P, C]
+        s_i = jnp.transpose(tot_ref[0]) - incl          # [P, C]
         bgdotg = jnp.sum(bg_ref[:, :] * g_pix, axis=0)[None, :]  # [1, P]
         tb = jnp.exp(logt_ref[0]) * bgdotg              # [1, P]
 
@@ -286,19 +264,42 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     new_pos = tiny_lookup(seg, slot_tile) + pos_in_tile
     new_pos = jnp.where(dup_ok, new_pos, M_pad)  # invalid -> dump slot
 
+    # dup_idx = CHUNK-aligned re-layout of the sorted gauss ids. TPU
+    # scatters are ~2.4 ms at 400k; instead copy each tile's contiguous
+    # run to its aligned offset with 64 oversized dynamic-update-slices
+    # (ascending order: the last writer of a position is its own tile).
+    # dynamic_(update_)slice clamps out-of-range starts, so source and
+    # destination are padded by the static slice length M.
     gauss_s = slots_s % N
-    dup_idx = jnp.full((M_pad + 1,), -1, jnp.int32).at[new_pos].set(
-        jnp.where(dup_ok, gauss_s, -1), mode="drop")[:M_pad]
+    src = jnp.concatenate([gauss_s, jnp.full((M,), -1, jnp.int32)])
 
-    # emission -> layout slot map via the sort permutation (scatter)
-    pos = jnp.full((M,), M_pad, jnp.int32).at[slots_s].set(new_pos)
+    def relayout_body(t, y):
+        run = jax.lax.dynamic_slice(src, (seg_raw[t],), (M,))
+        return jax.lax.dynamic_update_slice(y, run, (seg[t],))
+
+    dup_idx = jax.lax.fori_loop(
+        0, n_tiles, relayout_body,
+        jnp.full((M_pad + M,), -1, jnp.int32))[:M_pad]
+    # mask the within-segment alignment padding (holds run overhang)
+    p = jnp.arange(M_pad, dtype=jnp.int32)
+    t_p = jnp.sum(p[:, None] >= seg[None, 1:], axis=1, dtype=jnp.int32)
+    limit = seg[:-1] + counts  # segment data end (before padding)
+    lim_p = tiny_lookup(limit, t_p)
+    dup_idx = jnp.where(p < lim_p, dup_idx, -1)
+
+    # emission -> layout slot map: inverse permutation via a second sort
+    # (sorting (slots_s, new_pos) by slot is ~8x cheaper than a scatter)
+    pos = jax.lax.sort((slots_s, new_pos), num_keys=1)[1]
     pos = pos.reshape(cap, N)
 
+    # gather only the 9 live rows (gather cost scales with rows), then
+    # zero-pad to the kernel's ROWS block height
     data = _pack(mean2d, conic, color,
-                 jnp.where(valid, opacity, 0.0), N)
+                 jnp.where(valid, opacity, 0.0), N)[:9]
     safe = jnp.clip(dup_idx, 0, N - 1)
     data_dup = jnp.take(data, safe, axis=1)
     data_dup = jnp.where((dup_idx >= 0)[None, :], data_dup, 0.0)
+    data_dup = jnp.pad(data_dup, ((0, ROWS - 9), (0, 0)))
     return data_dup, pos, seg
 
 
@@ -345,7 +346,7 @@ def _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w, tile_h, tile_w,
     return out, logt
 
 
-def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
+def _run_bwd_kernel(data_dup, seg, bg, logt, tot, g_out, img_h, img_w,
                     tile_h, tile_w, maxc):
     """Run the backward kernel -> dgrad_dup [16, M_pad]."""
     ty, tx = img_h // tile_h, img_w // tile_w
@@ -356,26 +357,25 @@ def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
                              tile_w=tile_w, n_blocks_total=n_blocks_total)
 
     def blk_map(i, j, seg_ref):
-        jj = jnp.where(j >= maxc, j - maxc, j)
-        return (0, _blk_index(i, jj, seg_ref, n_blocks_total))
+        return (0, _blk_index(i, j, seg_ref, n_blocks_total))
 
     def out_blk_map(i, j, seg_ref):
-        # real block only for the in-range phase-B program; everything
-        # else (phase A, clamped tails, empty tiles) -> dump block
-        jj = j - maxc
+        # real block only for the in-range program; clamped tails and
+        # empty tiles -> dump block (extra trailing block of the output)
         start = seg_ref[i]
         end = seg_ref[i + 1]
-        in_range = (j >= maxc) & ((start // CHUNK + jj) * CHUNK < end)
-        blk = _blk_index(i, jnp.maximum(jj, 0), seg_ref, n_blocks_total)
-        # dump block = the extra trailing block of the output array
+        in_range = (start // CHUNK + j) * CHUNK < end
+        blk = _blk_index(i, j, seg_ref, n_blocks_total)
         return (0, jnp.where(in_range, blk, n_blocks_total))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, 2 * maxc),
+        grid=(n_tiles, maxc),
         in_specs=[
             pl.BlockSpec((ROWS, CHUNK), blk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -385,9 +385,8 @@ def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
         out_specs=pl.BlockSpec((ROWS, CHUNK), out_blk_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((maxc, P), jnp.float32),   # per-block entry logT
-            pltpu.VMEM((1, P), jnp.float32),      # total u
-            pltpu.VMEM((1, P), jnp.float32),      # running prefix
+            pltpu.VMEM((1, P), jnp.float32),      # running entry logT
+            pltpu.VMEM((1, P), jnp.float32),      # running u prefix
         ],
     )
     dgrad_dup = pl.pallas_call(
@@ -396,7 +395,7 @@ def _run_bwd_kernel(data_dup, seg, bg, logt, g_out, img_h, img_w,
         out_shape=jax.ShapeDtypeStruct(
             (ROWS, data_dup.shape[1] + CHUNK), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(seg, data_dup, bg, logt, g_out)[:, :data_dup.shape[1]]
+    )(seg, data_dup, bg, logt, tot, g_out)[:, :data_dup.shape[1]]
 
     return dgrad_dup
 
@@ -418,20 +417,25 @@ def _binned_fwd(mean2d, conic, color, opacity, depth, radius, valid, bg,
         img_h, img_w, tile_h, tile_w, cap_span)
     tiles, logt = _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w,
                                    tile_h, tile_w, maxc)
-    return tiles, (data_dup, pos, seg, bg, logt)
+    return tiles, (data_dup, pos, seg, bg, logt, tiles)
 
 
 def _binned_bwd(img_h, img_w, tile_h, tile_w, maxc, cap_span, res,
                 g_tiles):
-    data_dup, pos, seg, bg, logt = res
-    dd = _run_bwd_kernel(data_dup, seg, bg, logt, g_tiles,
+    data_dup, pos, seg, bg, logt, tiles = res
+    # total color-grad inner product per pixel (replaces the two-pass
+    # kernel's phase A): tot = sum_c g_out[c] * (out[c] - bg[c]*T_fin)
+    rgb_fg = tiles - bg[None, :, :] * jnp.exp(logt)     # [T, 3, P]
+    tot = jnp.sum(g_tiles * rgb_fg, axis=1, keepdims=True)
+    dd = _run_bwd_kernel(data_dup, seg, bg, logt, tot, g_tiles,
                          img_h, img_w, tile_h, tile_w, maxc)
     # per-gaussian grads: cap_span^2 gathers through the emission->slot
-    # map (the dump slot M_pad indexes a zero column)
-    dd = jnp.pad(dd, ((0, 0), (0, 1)))
+    # map (the dump slot M_pad indexes a zero column). Only the 9 live
+    # rows are gathered — gather cost scales with row count.
+    dd = jnp.pad(dd[:9], ((0, 0), (0, 1)))
     dG = 0.0
     for k in range(cap_span * cap_span):
-        dG = dG + jnp.take(dd, pos[k], axis=1)          # [16, N]
+        dG = dG + jnp.take(dd, pos[k], axis=1)          # [9, N]
     d_mean = jnp.stack([dG[0], dG[1]], axis=1)
     d_conic = jnp.stack([dG[2], dG[3], dG[4]], axis=1)
     d_color = jnp.stack([dG[6], dG[7], dG[8]], axis=1)
