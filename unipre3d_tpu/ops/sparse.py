@@ -81,7 +81,7 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
 
 
 def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
-                  k_chunk: int = 32) -> jnp.ndarray:
+                  k_chunk: int = 32, return_floor: bool = False):
     """Exact-match lookup of tgt [M, K] in sorted codes [M] via a
     batched merge sort — XLA's ``searchsorted`` lowers to a serialized
     gather loop on TPU (measured 24 ms per 433k needles), while one
@@ -114,19 +114,36 @@ def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
         cand = back - 1
         cand_c = jnp.clip(cand, 0, M - 1)
         found = (cand >= 0) & (jnp.take(codes, cand_c) == tcol)
-        out_cols.append(jnp.where(found, cand_c, -1).T)   # [M, kc]
-    return jnp.concatenate(out_cols, axis=1)
+        out_cols.append((jnp.where(found, cand_c, -1).T,
+                         cand.T))                         # [M, kc] each
+    res = jnp.concatenate([c[0] for c in out_cols], axis=1)
+    if return_floor:
+        # floor rank: index of the last code <= target (-1 if none)
+        return res, jnp.concatenate([c[1] for c in out_cols], axis=1)
+    return res
 
 
 def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
     """Submanifold neighbor table.
 
-    sv must be canonical (code-sorted). offsets [K, 3] ->
-    idx [M, K] int32 row index of the voxel at coords+offset, or -1.
-    """
+    sv must be canonical (code-sorted, codes unique among valid rows).
+    offsets [K, 3] -> idx [M, K] int32 row index of the voxel at
+    coords+offset, or -1.
+
+    For centered cubic kernels (the :func:`kernel_offsets` layout) only
+    the s^2 dz=0 columns go through the merge lookup; the dz != 0
+    columns are derived from sorted-order adjacency — z is the packed
+    code's low bits, so code(x,y,z±j) = code(x,y,z)±j and, codes being
+    unique and sorted, rank(c+1) = floor_rank(c)+1 when c+1 exists.
+    This cuts lookup cost 3x (k3) / 5x (k5): the merge sort dominates
+    and scales with the number of columns."""
     M = sv.coords.shape[0]
     codes = pack_code(sv.coords, sv.mask)  # sorted, invalid at end
     offs = np.asarray(offsets)             # [K, 3] (np: embeds as HLO const)
+    K = offs.shape[0]
+    s = round(K ** (1.0 / 3.0))
+    if s ** 3 == K and np.array_equal(offs, kernel_offsets(s)):
+        return _find_neighbors_cubic(sv, codes, s)
     tgt_coords = sv.coords[:, None, :] + offs[None, :, :]      # [M, K, 3]
     in_range = jnp.all(
         (tgt_coords >= 0) & (tgt_coords < (1 << CODE_BITS)), axis=-1)
@@ -135,6 +152,62 @@ def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
                     tgt_mask.reshape(-1)).reshape(M, -1)        # [M, K]
     found = _merge_lookup(codes, tgt)
     return jnp.where(tgt == INVALID_CODE, -1, found)
+
+
+def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
+                          s: int) -> jnp.ndarray:
+    """Cubic-kernel fast path of :func:`find_neighbors` (see there)."""
+    r = s // 2
+    M = sv.coords.shape[0]
+    lim = 1 << CODE_BITS
+    dxdy = np.asarray([(dx, dy)
+                       for dx in range(-r, r + 1)
+                       for dy in range(-r, r + 1)], np.int32)   # [G, 2]
+    txy = sv.coords[:, None, :2] + dxdy[None, :, :]             # [M, G, 2]
+    z = sv.coords[:, 2].astype(jnp.int32)
+    xy_ok = jnp.all((txy >= 0) & (txy < lim), axis=-1) & sv.mask[:, None]
+    tgt0 = jnp.where(
+        xy_ok,
+        (txy[..., 0].astype(jnp.uint32) << (2 * CODE_BITS))
+        | (txy[..., 1].astype(jnp.uint32) << CODE_BITS)
+        | z[:, None].astype(jnp.uint32),
+        INVALID_CODE)                                           # [M, G]
+    found0, floor0 = _merge_lookup(codes, tgt0, return_floor=True)
+    grp_ok = tgt0 != INVALID_CODE
+
+    def code_at(rank):
+        return jnp.take(codes, jnp.clip(rank, 0, M - 1))
+
+    # guard: an INVALID target would exact-match the INVALID padding
+    # codes at the end of the sorted table
+    cols = {0: jnp.where(grp_ok, found0, -1)}
+    # upward (dz > 0): rank(c+j) = floor_{j-1}+1 when c+j exists
+    prev_u = floor0
+    for j in range(1, r + 1):
+        cand = prev_u + 1
+        zok = (z[:, None] + j) < lim
+        pres = grp_ok & zok & (cand < M) & \
+            (code_at(cand) == tgt0 + np.uint32(j))
+        cols[j] = jnp.where(pres, cand, -1)
+        prev_u = jnp.where(pres, cand, prev_u)
+    # downward (dz < 0): floor(c-j) = floor(c-j+1) - [c-j+1 exists]
+    prev_f = floor0
+    prev_present = found0 >= 0
+    for j in range(1, r + 1):
+        cand = prev_f - prev_present.astype(jnp.int32)
+        zok = (z[:, None] - j) >= 0
+        pres = grp_ok & zok & (cand >= 0) & \
+            (code_at(cand) == tgt0 - np.uint32(j))
+        cols[-j] = jnp.where(pres, cand, -1)
+        prev_f = cand
+        prev_present = pres
+    # x-major assembly: column of offset (dx, dy, dz) = group*s + (dz+r)
+    G = dxdy.shape[0]
+    parts = []
+    for gi in range(G):
+        for dz in range(-r, r + 1):
+            parts.append(cols[dz][:, gi])
+    return jnp.stack(parts, axis=1)
 
 
 def _gather_rows(table: jnp.ndarray, idx_col: jnp.ndarray) -> jnp.ndarray:

@@ -146,7 +146,19 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
             capacity=cap)
         return out["render"]
 
-    render_one = jax.checkpoint(render_one)
+    # remat trades ~35% extra render time for the [tiles, cap, P] alpha
+    # residuals (~0.3 GB/view at 160x120/cap-1024). Keep it only when
+    # the residual footprint is actually large.
+    remat_mode = str(cfg.tpu.get("raster_remat", "auto")) \
+        if "tpu" in cfg else "auto"
+    n_tiles = (img_h // tile_h) * (img_w // tile_w)
+    n_sup = batch["gt_images"].shape[1] - n_in
+    resid_gb = (batch["gt_images"].shape[0] * n_sup * n_tiles * cap
+                * tile_h * tile_w * 4) / 2 ** 30
+    use_remat = remat_mode == "on" or (remat_mode == "auto"
+                                       and resid_gb > 4.0)
+    if use_remat:
+        render_one = jax.checkpoint(render_one)
 
     # vmap over supervision views (gaussians broadcast), then over batch
     per_view = jax.vmap(render_one,
