@@ -80,6 +80,25 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
     return np.asarray(offs, dtype=np.int32)
 
 
+def take_elements(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for a 1-D table — as an 8-wide row gather plus a
+    lane compare-sum. TPU element gathers cost ~6.7 ns/element; row
+    gathers pay per ROW, so fetching 8-element rows and selecting the
+    lane is ~2.4x faster (13.3 -> 5.5 ms at 2M indices)."""
+    n = table.shape[0]
+    n_pad = -(-n // 8) * 8
+    if n_pad != n:
+        table = jnp.concatenate(
+            [table, jnp.zeros((n_pad - n,), table.dtype)])
+    rows = table.reshape(-1, 8)
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    g = jnp.take(rows, flat // 8, axis=0)                 # [N, 8]
+    lane = (flat % 8)[:, None] == jnp.arange(8)[None, :]
+    return jnp.sum(jnp.where(lane, g, 0), axis=1).astype(
+        table.dtype).reshape(shape)
+
+
 def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
                   k_chunk: int = 32, return_floor: bool = False):
     """Exact-match lookup of tgt [M, K] in sorted codes [M] via a
@@ -113,7 +132,7 @@ def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
         back = val_o[:, M:]                               # [kc, M]
         cand = back - 1
         cand_c = jnp.clip(cand, 0, M - 1)
-        found = (cand >= 0) & (jnp.take(codes, cand_c) == tcol)
+        found = (cand >= 0) & (take_elements(codes, cand_c) == tcol)
         out_cols.append((jnp.where(found, cand_c, -1).T,
                          cand.T))                         # [M, kc] each
     res = jnp.concatenate([c[0] for c in out_cols], axis=1)
@@ -176,7 +195,7 @@ def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
     grp_ok = tgt0 != INVALID_CODE
 
     def code_at(rank):
-        return jnp.take(codes, jnp.clip(rank, 0, M - 1))
+        return take_elements(codes, jnp.clip(rank, 0, M - 1))
 
     # guard: an INVALID target would exact-match the INVALID padding
     # codes at the end of the sorted table
