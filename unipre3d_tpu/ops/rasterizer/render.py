@@ -73,6 +73,57 @@ def _composite(alpha, colors, bg_color):
     return rgb + final_T[:, None] * bg_color[None, :], final_T
 
 
+@jax.custom_vjp
+def _compact_gather(fields: jnp.ndarray, cand: jnp.ndarray,
+                    slot_ok: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile candidate gather: fields [N, F], cand [T, K],
+    slot_ok [T, K] -> [T, K, F] (0 on dead slots).
+
+    One stacked gather instead of one per field (TPU gather cost is
+    per-ROW, so 4 narrow gathers cost ~4x one wide gather), and a
+    custom VJP: the gather's transpose is a scatter-add (~25 ms per
+    field array at 307k indices); a (key, grads...) sort + run-boundary
+    cumsum differences + two unique-index scatters does the same
+    segment sum in ~5 ms total."""
+    g = jnp.take(fields, cand, axis=0)
+    return jnp.where(slot_ok[..., None], g, 0.0)
+
+
+def _compact_gather_fwd(fields, cand, slot_ok):
+    return _compact_gather(fields, cand, slot_ok), \
+        (fields.shape[0], cand, slot_ok)
+
+
+def _compact_gather_bwd(res, dg):
+    n, cand, slot_ok = res
+    T, K, F = dg.shape
+    tk = T * K
+    keys = jnp.where(slot_ok, cand, n).reshape(tk)
+    ops = (keys,) + tuple(dg[..., f].reshape(tk).astype(jnp.float32)
+                          for f in range(F))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    k_s = sorted_ops[0]
+    cum = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=-1), axis=0)  # [tk, F]
+    g_s = jnp.stack(sorted_ops[1:], axis=-1)
+    nxt = jnp.concatenate([k_s[1:], jnp.full((1,), -1, k_s.dtype)])
+    prv = jnp.concatenate([jnp.full((1,), -1, k_s.dtype), k_s[:-1]])
+    is_end = k_s != nxt
+    is_start = k_s != prv
+    idx_end = jnp.where(is_end, k_s, n)
+    idx_start = jnp.where(is_start, k_s, n)
+    y_end = jnp.zeros((n, F), jnp.float32).at[idx_end].set(
+        cum, mode="drop", unique_indices=True)
+    y_start = jnp.zeros((n, F), jnp.float32).at[idx_start].set(
+        cum - g_s, mode="drop", unique_indices=True)
+    import numpy as _np
+    return (y_end - y_start,
+            _np.zeros(cand.shape, dtype=jax.dtypes.float0),
+            _np.zeros(slot_ok.shape, dtype=jax.dtypes.float0))
+
+
+_compact_gather.defvjp(_compact_gather_fwd, _compact_gather_bwd)
+
+
 def auto_tile(img_h: int, img_w: int) -> tuple:
     """Largest tile dims from {32, 16, 8, 4} dividing each image dim."""
     def pick(s):
@@ -84,10 +135,20 @@ def auto_tile(img_h: int, img_w: int) -> tuple:
 
 
 def _sorted_by_depth(pg: ProjectedGaussians) -> ProjectedGaussians:
-    # invalid gaussians sort to the back
+    # invalid gaussians sort to the back. ONE stacked 11-wide row gather
+    # instead of 7 narrow ones (gather cost is per-row on TPU).
     key = jnp.where(pg.valid, pg.depth, jnp.inf)
     order = jnp.argsort(key)
-    return ProjectedGaussians(*[jnp.take(a, order, axis=0) for a in pg])
+    stacked = jnp.concatenate(
+        [pg.mean2d, pg.conic, pg.color,
+         pg.opacity[:, None], pg.depth[:, None],
+         pg.radius.astype(jnp.float32)[:, None],
+         pg.valid.astype(jnp.float32)[:, None]], axis=1)
+    s = jnp.take(stacked, order, axis=0)
+    return ProjectedGaussians(
+        mean2d=s[:, 0:2], conic=s[:, 2:5], color=s[:, 5:8],
+        opacity=s[:, 8], depth=s[:, 9],
+        radius=s[:, 10].astype(pg.radius.dtype), valid=s[:, 11] > 0.5)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -126,11 +187,17 @@ def rasterize_projected(pg: ProjectedGaussians, bg_color: jnp.ndarray,
     slot_ok = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) < \
         jnp.minimum(count, K)[:, None]
 
-    # gather per-tile gaussian params
-    g_mean2d = jnp.take(pg.mean2d, cand, axis=0)    # [T, K, 2]
-    g_conic = jnp.take(pg.conic, cand, axis=0)      # [T, K, 3]
-    g_color = jnp.take(pg.color, cand, axis=0)      # [T, K, 3]
-    g_opa = jnp.where(slot_ok, jnp.take(pg.opacity, cand, axis=0), 0.0)
+    # gather per-tile gaussian params — one stacked 9-wide gather with a
+    # sort-based segment-sum VJP (see _compact_gather). Dead slots are
+    # zeroed across all fields: their opacity 0 makes alpha (and all its
+    # gradients) exactly 0, so the forward image is unchanged.
+    fields = jnp.concatenate(
+        [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=1)
+    g = _compact_gather(fields, cand, slot_ok)      # [T, K, 9]
+    g_mean2d = g[..., 0:2]
+    g_conic = g[..., 2:5]
+    g_color = g[..., 5:8]
+    g_opa = g[..., 8]
 
     # per-tile pixel coordinates [n_tiles, P]
     p = tile_h * tile_w
