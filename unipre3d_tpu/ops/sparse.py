@@ -243,6 +243,35 @@ def _gather_all(table: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
                       for k in range(nbr_idx.shape[1])], axis=1)
 
 
+def _window_gather(table: jnp.ndarray, nbr_idx: jnp.ndarray,
+                   s: int) -> jnp.ndarray:
+    """Cubic-kernel gather with s-fold fewer rows.
+
+    For an x-major cubic neighbor table, each (dx, dy) group's s
+    z-columns point at CONSECUTIVE ranks in the code-sorted voxel array
+    (z is the packed code's low bits and codes are unique), so one
+    gather of an s-row feature window per group replaces s per-column
+    gathers — and TPU gather cost is per-row. The window table is built
+    with rolls (no gather); each column selects its sub-block by the
+    in-window offset. Exactly equivalent to :func:`_gather_all`."""
+    M, C = table.shape
+    K = nbr_idx.shape[1]
+    G = K // s
+    win = jnp.concatenate([jnp.roll(table, -p, axis=0)
+                           for p in range(s)], axis=1)   # [M, s*C]
+    cols = nbr_idx.reshape(M, G, s)
+    a = jnp.min(jnp.where(cols >= 0, cols, M + s), axis=2)  # [M, G]
+    wg = jnp.take(win, jnp.clip(a, 0, M - 1), axis=0)    # [M, G, s*C]
+    wg = wg.reshape(M, G, s, C)
+    o = cols - a[..., None]                              # [M, G, s]
+    g = jnp.zeros((M, G, s, C), table.dtype)
+    for p in range(s):
+        g = g + jnp.where((o == p)[..., None], wg[:, :, p][:, :, None, :],
+                          0)
+    g = jnp.where((cols >= 0)[..., None], g, 0)
+    return g.reshape(M, K, C)
+
+
 @jax.custom_vjp
 def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
                        weight: jnp.ndarray) -> jnp.ndarray:
@@ -261,10 +290,18 @@ def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
     return _subm_conv_apply(feats, nbr_idx, weight)
 
 
+def _conv_gather(table, nbr_idx):
+    K = nbr_idx.shape[1]
+    s = round(K ** (1.0 / 3.0))
+    if s ** 3 == K and s > 1:
+        return _window_gather(table, nbr_idx, s)
+    return _gather_all(table, nbr_idx)
+
+
 def _subm_conv_apply(feats, nbr_idx, weight):
     M, Cin = feats.shape
     K = nbr_idx.shape[1]
-    g = _gather_all(feats, nbr_idx)                       # [M, K, Cin]
+    g = _conv_gather(feats, nbr_idx)                      # [M, K, Cin]
     return jax.lax.dot_general(
         g.reshape(M, K * Cin), weight.reshape(K * Cin, -1),
         (((1,), (0,)), ((), ())),
@@ -284,8 +321,10 @@ def _subm_conv_bwd(res, dy):
     dy = dy.astype(feats.dtype)
     # G[j, k, :] = dy[i] where nbr[i, k] = j, i.e. a gather through the
     # mirrored offset column (see docstring); 0 where no such i exists.
-    G = jnp.stack([_gather_rows(dy, nbr_idx[:, K - 1 - k])
-                   for k in range(K)], axis=1)            # [M, K, Cout]
+    # Full column reversal keeps the x-major cubic layout (it is the
+    # x-major order of the negated offsets), so the window fast path
+    # applies to the flipped table too.
+    G = _conv_gather(dy, nbr_idx[:, ::-1])                # [M, K, Cout]
     w_t = jnp.transpose(weight, (0, 2, 1)).reshape(K * Cout, Cin)
     dfeats = jax.lax.dot_general(
         G.reshape(M, K * Cout), w_t, (((1,), (0,)), ((), ())),
