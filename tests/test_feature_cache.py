@@ -72,6 +72,85 @@ def test_cached_step_matches_live_loss(setup):
                                float(m_cached["loss"]), rtol=1e-5)
 
 
+def test_miss_batches_are_bucketed():
+    """The extractor must only ever see power-of-two batch shapes so the
+    tunneled TPU compiles once per bucket, not per distinct miss count."""
+    shapes = []
+
+    def fake_fn(params, images):
+        shapes.append(images.shape[0])
+        return jnp.broadcast_to(
+            jnp.mean(images, axis=(1, 2, 3))[:, None, None, None],
+            (images.shape[0], 128, 4, 4))
+
+    cache = DeviceVAECache(fake_fn, capacity=64, img_h=4, img_w=4,
+                           dtype=jnp.float32)
+
+    def batch_of(seed, b, v):
+        r = np.random.default_rng(seed)
+        return {"gt_images": r.uniform(0, 1, (b, v, 3, 4, 4))
+                .astype(np.float32)}
+
+    cache.attach(batch_of(1, 3, 1), None, 1)   # 3 misses -> bucket 4
+    cache.attach(batch_of(2, 5, 1), None, 1)   # 5 misses -> bucket 8
+    cache.attach(batch_of(3, 1, 1), None, 1)   # 1 miss  -> bucket 1
+    assert shapes == [4, 8, 1]
+    # gathered features still match the un-padded extractor outputs
+    b = batch_of(1, 3, 1)
+    out = np.asarray(cache.attach(b, None, 1))
+    exp = b["gt_images"][:, 0].mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(out[:, 0, 0, 0, 0], exp, rtol=1e-6)
+
+
+def test_host_spill_tier():
+    """L1-evicted entries spill to host RAM and re-promote as L2 hits
+    (bit-identical features, no extra extractor calls)."""
+    calls = []
+
+    def fake_fn(params, images):
+        calls.append(images.shape[0])
+        return jnp.broadcast_to(
+            jnp.mean(images, axis=(1, 2, 3))[:, None, None, None],
+            (images.shape[0], 128, 4, 4))
+
+    cache = DeviceVAECache(fake_fn, capacity=2, img_h=4, img_w=4,
+                           dtype=jnp.float32, host_capacity=8)
+
+    def batch_of(seed):
+        r = np.random.default_rng(seed)
+        return {"gt_images": r.uniform(0, 1, (1, 1, 3, 4, 4))
+                .astype(np.float32)}
+
+    f1 = np.asarray(cache.attach(batch_of(1), None, 1))  # miss
+    cache.attach(batch_of(2), None, 1)                   # miss (L1 full)
+    cache.attach(batch_of(3), None, 1)                   # miss, spills 1
+    assert len(cache.host) == 1
+    n_calls = len(calls)
+    f1b = np.asarray(cache.attach(batch_of(1), None, 1))  # L2 hit
+    assert cache.l2_hits == 1 and len(calls) == n_calls
+    np.testing.assert_array_equal(f1, f1b)
+    # the re-promotion itself spilled another entry; hit-rate counts L2
+    assert cache.hit_rate == pytest.approx(1 / 4)
+
+
+def test_bf16_buffer_tolerance(setup):
+    """Default bf16 buffer: features match the live float32 path to
+    bf16 quantization tolerance (the exactness claim is fp32-only)."""
+    cfg, batch, model, _, state = setup
+    n_in = int(cfg.data.input_images)
+    res = int(cfg.data.training_resolution)
+    cache = DeviceVAECache(make_feature_fn(model), capacity=8,
+                           img_h=res, img_w=res)  # default bf16
+    feats = np.asarray(cache.attach(batch, state.params, n_in),
+                       dtype=np.float32)
+    live = np.asarray(make_feature_fn(model)(
+        state.params, jnp.asarray(
+            batch["gt_images"][:, :n_in].reshape(-1, 3, res, res))))
+    live = live.reshape(feats.shape)
+    denom = np.abs(live).max() + 1e-8
+    assert np.abs(feats - live).max() / denom < 1e-2
+
+
 def test_lru_eviction():
     fn_calls = []
 

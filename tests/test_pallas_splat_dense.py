@@ -80,6 +80,55 @@ def test_forward_non_multiple_of_128():
         np.asarray(out), np.asarray(ref).reshape(out.shape), atol=2e-5)
 
 
+@pytest.mark.parametrize("n", [600, 1024])
+def test_multi_chunk_counts(n):
+    """Counts whose 128-padding is not a multiple of chunk_n=512 (e.g.
+    600 -> 640) must not drop trailing gaussians (round-2 advisor bug:
+    n_chunks floored, silently truncating both fwd and bwd)."""
+    params, cams = setup_batch(R=2, n=n, seed=4)
+    pg = prep_batch(params, cams)
+    out = dense(pg)
+    ref = jax.vmap(lambda p: rasterize_projected_reference(
+        p, BG, RES, RES))(pg)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref).reshape(out.shape), atol=2e-5)
+
+
+def test_multi_chunk_backward():
+    params, cams = setup_batch(R=1, n=600, seed=5)
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.uniform(0, 1, (1, 3, RES, RES)).astype(np.float32))
+
+    def loss_dense(*p):
+        return jnp.sum((dense(prep_batch(p, cams)) - tgt) ** 2)
+
+    def loss_ref(*p):
+        pg = prep_batch(p, cams)
+        img = jax.vmap(lambda q: rasterize_projected_reference(
+            q, BG, RES, RES))(pg)
+        return jnp.sum((img - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(*params)
+    g_dense = jax.grad(loss_dense, argnums=tuple(range(5)))(*params)
+    for i, nm in enumerate(["means", "opa", "scales", "rots", "shs"]):
+        a, b = np.asarray(g_ref[i]), np.asarray(g_dense[i])
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 1e-4, nm
+
+
+def test_plan_layout_constraints():
+    """_plan must return p_blk that divides n_pix and is lane-aligned
+    (multiple of 128 or the whole image) for every (n_pad, n_pix) the
+    caller can produce — the chunk_n=384 case used to emit p_blk=8."""
+    from unipre3d_tpu.ops.rasterizer.pallas_splat_dense import _plan
+    for n_pad in [128, 256, 384, 512, 1024, 1536, 4096]:
+        for n_pix in [32 * 32, 128 * 128, 160 * 120, 64 * 48]:
+            chunk_n, p_blk = _plan(n_pad, n_pix)
+            assert n_pad % chunk_n == 0
+            assert n_pix % p_blk == 0
+            assert p_blk % 128 == 0 or p_blk == n_pix
+
+
 def test_large_radius_gaussians():
     """Gaussians spanning the whole image (the failure mode the binned
     kernel's CAP_SPAN truncates) are exact in the dense kernel."""

@@ -73,8 +73,16 @@ def main():
     mix_prob = float(cfg.data.get("mix_prob", 0.0))
     collate_hook = None
     if mix_prob > 0.0:
-        from unipre3d_tpu.data.transforms import make_mix3d_collate
-        collate_hook = make_mix3d_collate(mix_prob, seed)
+        # Mix3d merges only the point-cloud keys: with rendering
+        # supervision the mixed cloud would train against scene A's
+        # unmixed cameras/GT images. The reference uses mix_prob only
+        # for segmentation fine-tuning (no render target), so the
+        # rendering-pretraining CLI rejects it; the fine-tune engine
+        # (unipre3d_tpu/training/finetune.py) is the supported consumer.
+        raise ValueError(
+            "data.mix_prob > 0 is unsupported for rendering pretraining "
+            "(half-mixed clouds vs unmixed render targets); use the "
+            "segmentation fine-tune engine for Mix3d.")
     train_loader = Loader(train_ds, batch_size, shuffle=True, seed=seed,
                           shard_id=jax.process_index(),
                           num_shards=jax.process_count(),

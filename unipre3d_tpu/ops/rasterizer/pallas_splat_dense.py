@@ -57,10 +57,20 @@ _WORKSET_BWD = 131072
 
 def _plan(n_pad: int, n_pix: int, workset: int = _WORKSET_BWD):
     chunk_n = min(n_pad, 512)
-    p_blk = workset // chunk_n
-    while n_pix % p_blk:
+    # n_pad is padded to a chunk multiple by rasterize_dense_batched;
+    # a floored n_chunks would silently drop trailing gaussians.
+    assert n_pad % chunk_n == 0, (n_pad, chunk_n)
+    # largest power of two within the workset budget, then shrink until
+    # it divides the pixel count
+    p_blk = 1 << ((workset // chunk_n).bit_length() - 1)
+    while p_blk > 1 and n_pix % p_blk:
         p_blk //= 2
-    return chunk_n, max(p_blk, 8)
+    # Mosaic layout: an out-spec block's last dim must be a multiple of
+    # 128 or equal the array dim — fall back to one whole-image block
+    if p_blk % 128:
+        p_blk = n_pix
+    assert n_pix % p_blk == 0, (n_pix, p_blk)
+    return chunk_n, p_blk
 
 
 def _pix_xy(b, p_blk, img_w):
@@ -325,6 +335,9 @@ def rasterize_dense_batched(mean2d, conic, color, opacity, depth, valid,
     """
     R, N = opacity.shape
     n_pad = -(-N // 128) * 128
+    if n_pad > 512:
+        # keep chunk_n=512 an exact divisor so every chunk is visited
+        n_pad = -(-n_pad // 512) * 512
     key = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(key, axis=1)
     take = lambda a: jnp.take_along_axis(
