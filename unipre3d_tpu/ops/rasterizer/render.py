@@ -283,7 +283,7 @@ def rasterize(means3d, opacities, scales, rotations, shs,
               tile_h: int = 16, tile_w: int = 16,
               capacity: int = 1024,
               impl: str = "xla",
-              cap_span: int = None) -> Dict[str, jnp.ndarray]:
+              dup_budget: int = None) -> Dict[str, jnp.ndarray]:
     """Full forward: preprocess + tiled rasterization of one view.
 
     ``impl``: "xla" (vmapped gather/compositing — best at small N),
@@ -302,8 +302,7 @@ def rasterize(means3d, opacities, scales, rotations, shs,
         from unipre3d_tpu.ops.rasterizer import pallas_splat_binned as psb
         img = psb.rasterize_projected_pallas_binned(
             pg, bg_color, img_h, img_w, tile_h, tile_w,
-            max_per_tile=capacity * 4,
-            cap_span=psb.CAP_SPAN if cap_span is None else cap_span)
+            max_per_tile=capacity * 4, dup_budget=dup_budget)
     elif impl == "pallas":
         from unipre3d_tpu.ops.rasterizer.pallas_splat import \
             rasterize_projected_pallas

@@ -3,4 +3,5 @@ from unipre3d_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate,
+    tp_matched_paths,
 )
