@@ -22,7 +22,8 @@ import numpy as np
 import yaml
 
 from unipre3d_tpu.data import Loader, get_dataset
-from unipre3d_tpu.export import (export_state_dict,
+from unipre3d_tpu.export import (export_scene_predictor,
+                                 export_state_dict,
                                  export_transformer_predictor,
                                  save_torch_checkpoint)
 from unipre3d_tpu.training import checkpoint as ckpt_lib
@@ -55,8 +56,13 @@ def main():
     params = jax.tree_util.tree_map(np.asarray, params)
     stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
 
-    if cfg.model.backbone_type == "transformer" and not args.full:
+    backbone = cfg.model.backbone_type
+    if args.full:
+        sd = export_state_dict(params, stats)
+    elif backbone == "transformer":
         sd = export_transformer_predictor(params, stats)
+    elif backbone in ("sparseunet", "ptv3"):
+        sd = export_scene_predictor(params, stats, backbone)
     else:
         sd = export_state_dict(params, stats)
     out = args.out or os.path.join(args.experiment_path,

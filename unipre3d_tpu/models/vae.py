@@ -167,10 +167,15 @@ class AutoencoderKL(nn.Module):
         return out
 
 
-def convert_torch_vae_state_dict(state_dict: Dict[str, Any]) -> Dict:
+def convert_torch_vae_state_dict(state_dict: Dict[str, Any],
+                                 n_blocks: int = 4,
+                                 layers_per_block: int = 2) -> Dict:
     """Map a diffusers AutoencoderKL torch state_dict onto this module's
     param tree (numpy arrays). Conv [O,I,kh,kw]->[kh,kw,I,O]; Dense
-    [O,I]->[I,O]."""
+    [O,I]->[I,O]. ``n_blocks``/``layers_per_block`` mirror the module
+    config (defaults: the sd-vae-ft-mse 4x2 layout); the converter is
+    validated against a real torch forward in
+    tests/test_vae_torch_parity.py."""
     import numpy as np
 
     def conv_w(v):
@@ -221,11 +226,11 @@ def convert_torch_vae_state_dict(state_dict: Dict[str, Any]) -> Dict:
 
     # encoder
     conv("encoder/conv_in", "encoder.conv_in")
-    for i in range(4):
-        for j in range(2):
+    for i in range(n_blocks):
+        for j in range(layers_per_block):
             resnet(f"encoder/down_{i}_resnet_{j}",
                    f"encoder.down_blocks.{i}.resnets.{j}")
-        if i < 3:
+        if i < n_blocks - 1:
             conv(f"encoder/down_{i}_downsample",
                  f"encoder.down_blocks.{i}.downsamplers.0.conv")
     resnet("encoder/mid/resnets_0", "encoder.mid_block.resnets.0")
@@ -240,11 +245,11 @@ def convert_torch_vae_state_dict(state_dict: Dict[str, Any]) -> Dict:
     resnet("decoder/mid/resnets_0", "decoder.mid_block.resnets.0")
     attn("decoder/mid/attentions_0", "decoder.mid_block.attentions.0")
     resnet("decoder/mid/resnets_1", "decoder.mid_block.resnets.1")
-    for i in range(4):
-        for j in range(3):
+    for i in range(n_blocks):
+        for j in range(layers_per_block + 1):
             resnet(f"decoder/up_{i}_resnet_{j}",
                    f"decoder.up_blocks.{i}.resnets.{j}")
-        if i < 3:
+        if i < n_blocks - 1:
             conv(f"decoder/up_{i}_upsample",
                  f"decoder.up_blocks.{i}.upsamplers.0.conv")
     norm("decoder/conv_norm_out", "decoder.conv_norm_out")
