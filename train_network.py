@@ -168,7 +168,7 @@ def main():
     it = int(state.step)
     t_last = time.time()
     imgs_since = 0
-    data_iter = iter(train_loader)
+    data_iter = train_loader.iter_from(int(state.step))
     for it in range(int(state.step) + 1, iterations + 1):
         host_batch = next(data_iter)
         batch = shard_batch(host_batch, mesh)

@@ -67,7 +67,7 @@ class Loader:
             examples = self.collate_hook(examples)
         return self._stack(examples)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def _epoch_sels(self, epoch: int):
         idx = self._epoch_indices(epoch)
         nb = len(idx) // self.batch_size if self.drop_last else \
             -(-len(idx) // self.batch_size)
@@ -75,20 +75,39 @@ class Loader:
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if len(sel) == 0:
                 break
+            yield sel
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        for sel in self._epoch_sels(epoch):
             yield self._fetch(sel)
 
-    def __iter__(self):
-        """Infinite iterator over epochs with background prefetch."""
+    def batches_per_epoch(self) -> int:
+        per_shard = -(-len(self.dataset) // self.num_shards)
+        return per_shard // self.batch_size if self.drop_last else \
+            -(-per_shard // self.batch_size)
+
+    def iter_from(self, global_step: int = 0):
+        """Infinite prefetching iterator positioned at batch
+        ``global_step`` of the deterministic (seeded per-epoch) stream —
+        a resumed run replays exactly the batches an uninterrupted run
+        would have seen (the reference's epoch-seeded DistributedSampler
+        semantics; needed for bit-exact resume)."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        bpe = max(1, self.batches_per_epoch())
+        epoch0, offset = divmod(max(0, int(global_step)), bpe)
 
         def worker():
-            epoch = 0
+            epoch = epoch0
+            skip = offset
             while not stop.is_set():
-                for batch in self.epoch(epoch):
+                for sel in self._epoch_sels(epoch):
+                    if skip > 0:        # index-only skip, no fetch cost
+                        skip -= 1
+                        continue
                     if stop.is_set():
                         return
-                    q.put(batch)
+                    q.put(self._fetch(sel))
                 epoch += 1
 
         t = threading.Thread(target=worker, daemon=True)
@@ -98,3 +117,7 @@ class Loader:
                 yield q.get()
         finally:
             stop.set()
+
+    def __iter__(self):
+        """Infinite iterator over epochs with background prefetch."""
+        return self.iter_from(0)

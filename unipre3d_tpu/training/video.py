@@ -24,8 +24,9 @@ CAMERA_DISTANCE = 1.75  # reference dataset/shapenet.py:36
 
 def orbit_pose(roll_deg: float, pitch_deg: float,
                distance_ratio: float = 1.0) -> np.ndarray:
-    """w2c 4x4 for the reference orbit parameterization
-    (dataset/shapenet.py:671-745)."""
+    """c2w 4x4 for the reference orbit parameterization
+    (dataset/shapenet.py:671-745; consumed as camera-to-world and
+    inverted by readCamerasFromTxt, dataset_readers.py:76-81)."""
     az = math.radians(-roll_deg)
     el = math.radians(pitch_deg - 90)
     R = np.array([
@@ -48,7 +49,7 @@ def orbit_pose(roll_deg: float, pitch_deg: float,
 
 def continuous_orbit_poses(num: int = 160) -> List[np.ndarray]:
     """The reference's two-phase orbit: a full spin rising 0->20 deg,
-    then 20->90 deg (dataset/shapenet.py:747-764). Returns 2*num w2c."""
+    then 20->90 deg (dataset/shapenet.py:747-764). Returns 2*num c2w."""
     rolls = np.linspace(-180, 180, num)
     p1 = np.linspace(0, 20, num)
     p2 = np.linspace(20, 90, num)
@@ -63,7 +64,8 @@ def orbit_camera_tensors(cfg, num: int = 80) -> Dict[str, np.ndarray]:
     proj = cam_util.get_projection_matrix(
         float(cfg.data.znear), float(cfg.data.zfar), fov, fov).T
     wv, fp, cc = [], [], []
-    for w2c in continuous_orbit_poses(num // 2):
+    for c2w in continuous_orbit_poses(num // 2):
+        w2c = np.linalg.inv(c2w)
         R = w2c[:3, :3].T
         t = w2c[:3, 3]
         wvt = cam_util.get_world2view(R, t).T
@@ -119,7 +121,8 @@ def write_video(frames: np.ndarray, path_base: str, fps: int = 20) -> str:
 
 def generate_test_examples(model, state, cfg, test_loader, out_dir: str,
                            iteration: int, num_examples: int = 1,
-                           use_ema: bool = True) -> List[str]:
+                           use_ema: bool = True,
+                           orbit_frames: int = 80) -> List[str]:
     """Reference Trainer.generate_test_examples (train_network.py:497-556):
     render every view of a test example next to its ground truth; object
     level additionally gets a rotating-orbit video."""
@@ -158,7 +161,8 @@ def generate_test_examples(model, state, cfg, test_loader, out_dir: str,
         paths.append(write_video(np.stack(frames), base, fps=4))
 
         if cfg.opt.level == "object":
-            orbit = render_orbit(one, cfg, gaussian_mask=mask)
+            orbit = render_orbit(one, cfg, num_frames=orbit_frames,
+                                 gaussian_mask=mask)
             base = os.path.join(out_dir, f"test_orbit_{iteration}_{i}")
             paths.append(write_video(orbit, base))
     return paths
