@@ -40,6 +40,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Peak dense bf16 throughput used for MFU accounting. v5e per-chip peak
+# from the public TPU spec (197 TFLOP/s bf16); A100 from the NVIDIA
+# datasheet (312 TFLOP/s bf16 dense).
+V5E_PEAK_FLOPS = 197e12
+A100_PEAK_FLOPS = 312e12
+# Assumed MFU for the reference's eager-PyTorch step (Python per-view
+# render loop + CUDA rasterizer, configs/transformer_pretraining.yaml).
+# Eager small-model training typically achieves 10-25% MFU; 0.35 is a
+# deliberately GENEROUS allowance so the reported vs_baseline ratio is a
+# conservative lower bound on the real speedup.
+A100_ASSUMED_MFU = 0.35
+
+
+def compiled_flops(jitted, *args):
+    """Total FLOPs of one call from XLA's compiled cost analysis (exact
+    for the compiled HLO; returns None when the backend can't say)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def mfu_anchor(flops_per_step, sec_per_step, samples_per_step):
+    """Achieved TFLOP/s + MFU on this chip, and the documented analytic
+    A100 throughput estimate for the same per-step FLOPs (BASELINE.json
+    asks for >=3x an A100 chip; the reference publishes no throughput,
+    so the anchor is FLOPs / (A100 peak * assumed eager MFU))."""
+    if flops_per_step is None or sec_per_step is None:
+        return None
+    tfps = flops_per_step / sec_per_step / 1e12
+    a100_sps = (A100_PEAK_FLOPS * A100_ASSUMED_MFU
+                / (flops_per_step / samples_per_step))
+    return {
+        "flops_per_step": flops_per_step,
+        "achieved_tflops_per_s": round(tfps, 2),
+        "mfu_vs_v5e_peak": round(tfps * 1e12 / V5E_PEAK_FLOPS, 4),
+        "a100_est_samples_per_s": round(a100_sps, 2),
+        "a100_est_method": f"flops/(312e12*{A100_ASSUMED_MFU} assumed "
+                           "eager-torch MFU); generous to the baseline",
+    }
+
+
 def time_slope(run_n, iters_lo, iters_hi, repeats=2):
     """Honest per-iteration seconds. ``run_n(n)`` must execute n
     iterations and end with a forced scalar materialization; the slope
@@ -112,24 +159,27 @@ def bench_train_step(small: bool):
     float(m["loss"])
     cached_sec = time_slope(make_run_n(cached_batch), lo, hi)
 
+    anchor = mfu_anchor(compiled_flops(step, state, cached_batch),
+                        cached_sec, batch_size)
     return (batch_size / cached_sec / n_chips,
-            batch_size / live_sec / n_chips)
+            batch_size / live_sec / n_chips, anchor)
 
 
-def bench_scene(small: bool):
-    """Scene-level pretraining step throughput (SparseUNet + PointFusion,
-    ScanNet schema) — samples/sec/chip at per-device batch 1 like the
-    reference's 4-GPU setup (configs/sparseunet_pretraining.yaml:6-34).
-    Default 8192-voxel capacity (BENCH_SCENE_FULL=1 for the real 80k) to
-    fit the driver's wall-clock budget; the config is reported alongside
-    the number."""
+def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
+    """Scene-level pretraining step throughput (SparseUNet/PTv3 +
+    PointFusion, ScanNet schema) — samples/sec/chip at per-device batch 1
+    like the reference's 4-GPU setup
+    (configs/sparseunet_pretraining.yaml:6-34,
+    configs/ptv3_pretraining.yaml:6-35). On TPU this runs the FULL
+    reference config (8 cond + 8 sup views, 160x120, 80k points);
+    BENCH_SCENE_FULL=0 forces the reduced 8k/2-view shape."""
     from unipre3d_tpu.training.config import load_config
     from unipre3d_tpu.training.trainer import (create_train_state,
                                                make_train_step)
     from unipre3d_tpu.data.dataset_factory import get_dataset
     from unipre3d_tpu.data.loader import Loader
 
-    full = os.environ.get("BENCH_SCENE_FULL") == "1"
+    full = os.environ.get("BENCH_SCENE_FULL", "1") == "1"
     if small:
         over = ["data.training_width=32", "data.training_height=32",
                 "data.input_images=2", "data.max_points=1024",
@@ -138,7 +188,7 @@ def bench_scene(small: bool):
         over = []  # reference config: 8 views, 160x120, 80k points
     else:
         over = ["data.input_images=2", "data.max_points=8192"]
-    cfg = load_config("sparseunet_pretraining", overrides=[
+    cfg = load_config(config_name, overrides=[
         "opt.batch_size=1", "data.pts_dataset_root=synthetic",
         "opt.ema.update_after_step=1"] + over)
     ds = get_dataset(cfg, "train")
@@ -162,8 +212,10 @@ def bench_scene(small: bool):
 
     lo, hi = (1, 3) if (small or full) else (2, 10)
     sec_per_iter = time_slope(run_n, lo, hi)
+    anchor = mfu_anchor(compiled_flops(step, state, b), sec_per_iter, 1)
     return 1.0 / sec_per_iter / jax.device_count(), (
-        "full_80k" if full else ("small" if small else "8k_2view"))
+        "full_80k_8view" if full else ("small" if small else "8k_2view")
+    ), anchor
 
 
 def bench_splat(small: bool, impl: str = "xla"):
@@ -224,17 +276,25 @@ def main():
     platform = jax.devices()[0].platform
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
     _mark(f"start platform={platform} small={small}")
-    sps, sps_live_vae = bench_train_step(small)
+    sps, sps_live_vae, obj_anchor = bench_train_step(small)
     _mark(f"train step done: cached={sps:.1f} live={sps_live_vae:.1f}")
     splat_ms = bench_splat(small)
     _mark(f"splat xla done: {splat_ms:.2f} ms")
-    scene_sps, scene_cfg = None, None
+    scene_sps, scene_cfg, scene_anchor = None, None, None
     try:
-        scene_sps, scene_cfg = bench_scene(small)
+        scene_sps, scene_cfg, scene_anchor = bench_scene(small)
         scene_sps = round(scene_sps, 3)
     except Exception as e:
         print(f"[bench] scene bench failed: {e}", file=sys.stderr)
     _mark(f"scene done: {scene_sps}")
+    ptv3_sps = None
+    if not small:
+        try:
+            ptv3_sps, _, _ = bench_scene(small, "ptv3_pretraining")
+            ptv3_sps = round(ptv3_sps, 3)
+        except Exception as e:
+            print(f"[bench] ptv3 scene bench failed: {e}", file=sys.stderr)
+    _mark(f"ptv3 scene done: {ptv3_sps}")
     # the Pallas duplicate-sort-stream kernel (CUDA-parity structure)
     splat_pallas_ms = None
     if platform != "cpu":
@@ -243,17 +303,30 @@ def main():
         except Exception as e:
             print(f"[bench] pallas splat failed: {e}", file=sys.stderr)
     _mark(f"splat pallas done: {splat_pallas_ms} ms")
+    # vs_baseline = our samples/s/chip over the analytic A100 estimate
+    # for the SAME step FLOPs (see mfu_anchor; BASELINE.json target is
+    # >=3.0 on this ratio). The reference publishes no throughput, so
+    # the denominator is 312 TFLOP/s * 0.35 assumed eager-torch MFU —
+    # deliberately generous to the baseline.
+    vs_baseline = None
+    if obj_anchor is not None:
+        vs_baseline = round(sps / obj_anchor["a100_est_samples_per_s"], 3)
     result = {
         "metric": "pretrain_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         "extra": {
             "samples_per_sec_per_chip_live_vae": round(sps_live_vae, 3),
             "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
             "splat_fwd_bwd_ms_100k_pallas": splat_pallas_ms,
             "scene_samples_per_sec_per_chip": scene_sps,
             "scene_config": scene_cfg,
+            "ptv3_scene_samples_per_sec_per_chip": ptv3_sps,
+            "object_anchor": obj_anchor,
+            "scene_anchor": scene_anchor,
+            "vs_baseline_method": "value / object_anchor.a100_est_"
+                                  "samples_per_s (>=3.0 = target met)",
             "platform": platform,
             "small_mode": small,
             "timing": "slope(N_lo,N_hi) with forced scalar fetch",
