@@ -64,10 +64,23 @@ class FinalHead(nn.Module):
 
 
 class PointFeaturePredictor(nn.Module):
-    """Backbone + final head (reference model/point_predictor.py:18)."""
+    """Backbone + final head (reference model/point_predictor.py:18).
+
+    ``backbone_overrides``: hashable tuple of (field, value) pairs
+    forwarded to the backbone constructor (lists stored as tuples).
+    Used to shrink the scene backbones for compile-budgeted dry runs
+    (``cfg.model.backbone_overrides``); production configs leave it
+    unset so the reference architecture (SURVEY §2.3) is built.
+    """
     backbone_type: str
     in_channels: int = 3
+    backbone_overrides: Any = None
     dtype: Any = jnp.float32
+
+    def _overrides(self) -> dict:
+        if not self.backbone_overrides:
+            return {}
+        return {k: v for k, v in self.backbone_overrides}
 
     def setup(self):
         bt = self.backbone_type
@@ -95,11 +108,12 @@ class PointFeaturePredictor(nn.Module):
         elif bt == "sparseunet":
             from unipre3d_tpu.models.sparseunet import SpUNet
             self.encoder = SpUNet(in_channels=6, num_classes=64,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, **self._overrides())
             self.final = FinalHead(32, dtype=self.dtype)
         elif bt == "ptv3":
             from unipre3d_tpu.models.ptv3 import PointTransformerV3
-            self.encoder = PointTransformerV3(in_channels=6, dtype=self.dtype)
+            self.encoder = PointTransformerV3(in_channels=6, dtype=self.dtype,
+                                              **self._overrides())
             self.final = FinalHead(32, dtype=self.dtype)
         else:
             raise ValueError(f"unsupported backbone: {bt}")
@@ -133,15 +147,19 @@ class GaussianSplatPredictor(nn.Module):
     level: str = "object"
     fov: float = 49.13434264120263
     training_resolution: int = 128
+    backbone_overrides: Any = None
+    vae_overrides: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.split_dims = split_dimensions(self.max_sh_degree)
         mc = MODEL_CONFIGS[self.backbone_type]
         self.point_network = PointFeaturePredictor(
-            self.backbone_type, self.in_channels, dtype=self.dtype)
+            self.backbone_type, self.in_channels,
+            backbone_overrides=self.backbone_overrides, dtype=self.dtype)
         if self.use_fusion:
-            self.image_network = AutoencoderKL(dtype=self.dtype)
+            vo = {k: v for k, v in (self.vae_overrides or ())}
+            self.image_network = AutoencoderKL(dtype=self.dtype, **vo)
             out_dim = (mc["feature_dim"] if self.level == "object"
                        else mc["fusion_dim"])
             self.image_conv = nn.Sequential([
@@ -284,7 +302,20 @@ def build_predictor(cfg, dtype=jnp.float32) -> GaussianSplatPredictor:
     res = (int(cfg.data.training_resolution)
            if "training_resolution" in cfg.data else
            int(cfg.data.training_height))
+
+    def freeze(v):
+        return tuple(freeze(x) for x in v) if isinstance(v, (list, tuple)) \
+            else v
+
+    bo = cfg.model.get("backbone_overrides") or None
+    if bo:
+        bo = tuple(sorted((k, freeze(v)) for k, v in bo.items()))
+    vo = cfg.model.get("vae_overrides") or None
+    if vo:
+        vo = tuple(sorted((k, freeze(v)) for k, v in vo.items()))
     return GaussianSplatPredictor(
+        backbone_overrides=bo,
+        vae_overrides=vo,
         backbone_type=cfg.model.backbone_type,
         in_channels=int(cfg.model.in_channels),
         max_sh_degree=int(cfg.model.max_sh_degree),
