@@ -12,12 +12,22 @@ compaction are pure overhead (measured: the XLA tiled path spends
   Python double loop of CUDA launches, train_network.py:417-443);
 * keeps the full depth-sorted gaussian table of a render resident in
   VMEM and streams pixels, not gaussians: every pixel block composites
-  every gaussian (dense), with alpha/transmittance on the VPU and the
-  color accumulation on the MXU;
-* composites in PRODUCT space (``T = cumprod(1-alpha)`` via log-depth
-  multiplicative rolls) like the CUDA reference's sequential
-  ``T *= 1-alpha`` — one transcendental per (pixel, gaussian)
-  (``exp(power)``) instead of the log-space path's three;
+  every gaussian (dense);
+* pushes every per-(pixel, gaussian) computation with outer-product or
+  prefix structure onto the MXU instead of the VPU (the round-3 kernel
+  was VPU-bound at ~45 vector ops per pair; measured 9.4 ms fwd /
+  17.3 ms fwd+bwd at the object shape R=128, N=128, 128^2):
+  - the EWA exponent is a degree-2 polynomial in the pixel coords, so
+    ``power = pixel_basis [P,6] @ coef [6,C]`` — one tiny matmul
+    replaces the dx/dy/quadratic VPU chain;
+  - transmittance prefixes are computed in log space with a triangular
+    matmul ``log(1-alpha) @ L_strict`` instead of a 7-step
+    multiplicative roll scan (numerically this matches the CUDA
+    reference's sequential f32 ``T *= 1-alpha``: both accumulate
+    O(N·eps) rounding);
+  - the backward's five geometry gradient rows are moments of
+    ``dpow`` against the same pixel basis: ``M = dpow^T @ basis
+    [C,6]`` — one matmul replaces five masked [P,C] reductions;
 * needs no cross-block transmittance carries — a pixel's full
   compositing chain lives in one program — so the analytic backward is
   single-pass (suffix trick within the local chunk loop) and
@@ -26,18 +36,20 @@ compaction are pure overhead (measured: the XLA tiled path spends
 
 Compositing semantics match render.py:_composite / the CUDA reference
 (alpha cap 0.99, skip power>0 or alpha<1/255, T stop 1e-4, frozen T
-after the stop), so tests check it against the XLA renderer's autodiff
-bit-nearly. Unlike the tiled paths there is no per-tile bbox cull, so
-the output matches the *brute-force* reference renderer exactly
-(CUDA's tile-granular cull only drops sub-1/255 tails).
+after the stop), so tests check it against the XLA renderer's autodiff.
+Unlike the tiled paths there is no per-tile bbox cull, so the output
+matches the *brute-force* reference renderer (CUDA's tile-granular cull
+only drops sub-1/255 tails).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,6 +57,8 @@ from unipre3d_tpu.ops.rasterizer.pallas_splat import (
     ALPHA_MAX, ALPHA_MIN, ROWS, _pack)
 
 T_EPS = 1e-4
+LOG_T_EPS = math.log(T_EPS)
+HI = jax.lax.Precision.HIGHEST
 
 # pixel-block x gaussian-chunk working set: P_BLK*CHUNK_N f32 elements
 # per intermediate. The backward keeps ~2x more intermediates live
@@ -52,7 +66,7 @@ T_EPS = 1e-4
 # both fit well under the ~16 MB/core VMEM; the larger forward block
 # halves per-program startup overhead.
 _WORKSET_FWD = 262144
-_WORKSET_BWD = 131072
+_WORKSET_BWD = 262144
 
 
 def _plan(n_pad: int, n_pix: int, workset: int = _WORKSET_BWD):
@@ -73,77 +87,120 @@ def _plan(n_pad: int, n_pix: int, workset: int = _WORKSET_BWD):
     return chunk_n, p_blk
 
 
-def _pix_xy(b, p_blk, img_w):
-    """Pixel coords of flat-pixel block ``b`` -> (px, py) each [P,1]."""
+def _pix_basis(b, p_blk, img_w):
+    """Degree-2 monomial basis of the pixel coords of flat-pixel block
+    ``b``: [P, 6] columns (1, px, py, px^2, py^2, px*py)."""
     flat = b * p_blk + jax.lax.broadcasted_iota(jnp.int32, (p_blk, 1), 0)
-    return ((flat % img_w).astype(jnp.float32),
-            (flat // img_w).astype(jnp.float32))
+    px = (flat % img_w).astype(jnp.float32)
+    py = (flat // img_w).astype(jnp.float32)
+    one = jnp.ones_like(px)
+    return jnp.concatenate(
+        [one, px, py, px * px, py * py, px * py], axis=1)
 
 
-def _cumprod_lanes(x):
-    """Inclusive cumulative product along the lane (last) axis via
-    log-depth rolls (multiplicative analog of _cumsum_lanes)."""
-    C = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    sh = 1
-    while sh < C:
-        shifted = pltpu.roll(x, sh, axis=x.ndim - 1)
-        x = x * jnp.where(col >= sh, shifted, 1.0)
-        sh *= 2
-    return x
+def _power_coefs(g):
+    """EWA exponent as polynomial coefficients over the pixel basis.
+
+    power(p, c) = -0.5*(A*dx^2 + C*dy^2) - B*dx*dy with dx = gx - px
+    expands to  k0 + k1*px + k2*py + k3*px^2 + k4*py^2 + k5*px*py.
+    g [16, C] packed chunk -> [6, C]."""
+    gx, gy = g[0:1, :], g[1:2, :]
+    A, B, C = g[2:3, :], g[3:4, :], g[4:5, :]
+    k0 = -0.5 * (A * gx * gx + C * gy * gy) - B * gx * gy
+    k1 = A * gx + B * gy
+    k2 = C * gy + B * gx
+    return jnp.concatenate([k0, k1, k2, -0.5 * A, -0.5 * C, -B], axis=0)
 
 
-def _chunk_alpha_om(g, px, py):
-    """g [16, C] packed chunk; px/py [P, 1] -> (alpha, om=1-alpha, dx,
-    dy, power, skip), alpha 0 / om 1 on skipped pairs."""
-    dx = g[0, :][None, :] - px          # [P, C]
-    dy = g[1, :][None, :] - py
-    power = (-0.5 * (g[2, :][None, :] * dx * dx
-                     + g[4, :][None, :] * dy * dy)
-             - g[3, :][None, :] * dx * dy)
-    a = jnp.minimum(ALPHA_MAX, g[5, :][None, :] * jnp.exp(power))
-    skip = (power > 0.0) | (a < ALPHA_MIN)
-    alpha = jnp.where(skip, 0.0, a)
-    return alpha, 1.0 - alpha, dx, dy, power, skip
+def _tri_strict_lower(C):
+    """[C, C] with 1 where row < col: x @ L = exclusive prefix sum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (r < c).astype(jnp.float32)
 
 
-def _composite_chunk(alpha, om, t_in):
-    """(w, contrib, t_out) for one chunk given entry transmittance
-    t_in [1, P]. T stop semantics: a gaussian contributes iff the
-    transmittance AFTER it stays >= T_EPS; T freezes at the stop."""
-    t_incl = _cumprod_lanes(om) * jnp.transpose(t_in)   # [P, C]
-    contrib = t_incl >= T_EPS
-    t_before = t_incl / om
+def _tri_strict_upper(C):
+    """[C, C] with 1 where row > col: x @ U = exclusive suffix sum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (r > c).astype(jnp.float32)
+
+
+def _dot_2x(x, tri):
+    """x [P,C] @ tri [C,C] (0/1 entries) with a two-pass hi/lo split.
+
+    Mosaic exposes only DEFAULT (one bf16 pass, ~2^-9 relative — too
+    lossy for transmittance prefixes) and HIGHEST (~3x passes) dot
+    precisions. Splitting x into a bf16 head and an f32 residual and
+    summing two DEFAULT passes gives ~2^-18 relative at 2/3 the
+    HIGHEST cost; the triangular matrix is exact in bf16."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    d = lambda a: jax.lax.dot_general(
+        a, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return d(hi) + d(lo)
+
+
+def _chunk_alpha(g, basis):
+    """(alpha, e=exp(power), power, skip); alpha 0 on skipped pairs.
+
+    The tiny positive threshold on the power>0 skip guards the MXU
+    polynomial's rounding: valid conics give power <= 0 exactly, and a
+    +eps rounding at a gaussian's center must not zero its alpha."""
+    power = jax.lax.dot_general(
+        basis, _power_coefs(g), (((1,), (0,)), ((), ())),
+        precision=HI, preferred_element_type=jnp.float32)      # [P, C]
+    e = jnp.exp(power)
+    a = jnp.minimum(ALPHA_MAX, g[5, :][None, :] * e)
+    skip = (power > 1e-4) | (a < ALPHA_MIN)
+    return jnp.where(skip, 0.0, a), e, power, skip
+
+
+def _chunk_transmittance(alpha, log_t_in, tri):
+    """Log-space compositing state for one chunk.
+
+    Returns (w, contrib, t_before, lg, log_t_incl, log_t_out) where
+    log_t_in/_out are [1, P] carries. T stop semantics: a gaussian
+    contributes iff the transmittance AFTER it stays >= T_EPS; T
+    freezes at the stop (log-space min over the contributing prefix)."""
+    om = 1.0 - alpha
+    lg = jnp.log(om)
+    pe = _dot_2x(lg, tri)                                      # [P, C]
+    pe = pe + jnp.transpose(log_t_in)
+    log_t_incl = pe + lg
+    contrib = log_t_incl >= LOG_T_EPS
+    t_before = jnp.exp(pe)
     w = jnp.where(contrib, alpha * t_before, 0.0)
-    # om <= 1 makes t_incl non-increasing along lanes, so contrib is a
-    # lane prefix and the frozen T is the smallest contributing t_incl
-    # (Mosaic has no reduce_prod; reduce_min is native)
-    t_out = jnp.min(jnp.where(contrib, t_incl, jnp.transpose(t_in)),
-                    axis=1)[None, :]
-    return w, contrib, t_before, t_out
+    log_t_out = jnp.min(
+        jnp.where(contrib, log_t_incl, jnp.transpose(log_t_in)),
+        axis=1)[None, :]
+    return w, contrib, t_before, lg, log_t_out
 
 
 def _dense_fwd_kernel(data_ref, bg_ref, out_ref, tfin_ref,
                       *, n_chunks, chunk_n, p_blk, img_w):
     b = pl.program_id(1)
-    px, py = _pix_xy(b, p_blk, img_w)
+    basis = _pix_basis(b, p_blk, img_w)
+    tri = _tri_strict_lower(chunk_n)
 
     def body(c, carry):
-        rgb, t = carry                                  # [3,P], [1,P]
+        rgb, log_t = carry                              # [3,P], [1,P]
         g = data_ref[0, :, pl.ds(c * chunk_n, chunk_n)]  # [16, C]
-        alpha, om, *_ = _chunk_alpha_om(g, px, py)
-        w, contrib, t_before, t = _composite_chunk(alpha, om, t)
+        alpha, *_ = _chunk_alpha(g, basis)
+        w, _, _, _, log_t = _chunk_transmittance(alpha, log_t, tri)
         rgb = rgb + jax.lax.dot_general(
             g[6:9, :], w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return rgb, t
+            precision=HI, preferred_element_type=jnp.float32)
+        return rgb, log_t
 
     rgb0 = jnp.zeros((3, p_blk), jnp.float32)
-    t0 = jnp.ones((1, p_blk), jnp.float32)
+    t0 = jnp.zeros((1, p_blk), jnp.float32)
     if n_chunks == 1:  # unrolled: no loop-carried VMEM round-trip
-        rgb, t = body(0, (rgb0, t0))
+        rgb, log_t = body(0, (rgb0, t0))
     else:
-        rgb, t = jax.lax.fori_loop(0, n_chunks, body, (rgb0, t0))
+        rgb, log_t = jax.lax.fori_loop(0, n_chunks, body, (rgb0, t0))
+    t = jnp.exp(log_t)
     out_ref[0] = rgb + bg_ref[:, :] * t
     tfin_ref[0] = t
 
@@ -151,7 +208,9 @@ def _dense_fwd_kernel(data_ref, bg_ref, out_ref, tfin_ref,
 def _dense_bwd_kernel(data_ref, bg_ref, gout_ref, dgrad_ref,
                       *, n_chunks, chunk_n, p_blk, img_w):
     b = pl.program_id(1)
-    px, py = _pix_xy(b, p_blk, img_w)
+    basis = _pix_basis(b, p_blk, img_w)
+    tri = _tri_strict_lower(chunk_n)
+    tri_u = _tri_strict_upper(chunk_n)
 
     @pl.when(b == 0)
     def _():
@@ -160,93 +219,103 @@ def _dense_bwd_kernel(data_ref, bg_ref, gout_ref, dgrad_ref,
     g_pix = gout_ref[0]                                  # [3, P]
     bgdotg = jnp.sum(bg_ref[:, :] * g_pix, axis=0)       # [P]
 
-    def chunk_grads(c, g, alpha, om, dx, dy, power, skip, w, contrib,
-                    t_before, tb, s):
-        """Shared per-chunk gradient math; returns the suffix update."""
+    def chunk_grads(c, g, alpha, e, skip, w, contrib, t_before, tb, s):
+        """Shared per-chunk gradient math; returns the suffix update.
+
+        The five geometry rows are pixel-basis moments of dpow:
+          row0 (d mx) = -(A*(gx*M0 - Mx) + B*(gy*M0 - My))
+          row1 (d my) = -(C*(gy*M0 - My) + B*(gx*M0 - Mx))
+          row2 (d A)  = -0.5*(gx^2*M0 - 2*gx*Mx + Mxx)
+          row3 (d B)  = -(gx*gy*M0 - gx*My - gy*Mx + Mxy)
+          row4 (d C)  = -0.5*(gy^2*M0 - 2*gy*My + Myy)
+        with M = dpow^T @ basis = [M0, Mx, My, Mxx, Myy, Mxy] per
+        gaussian — one [P,C]x[P,6] MXU contraction replaces five
+        masked [P,C] VPU reductions (this was half the round-3
+        backward's runtime)."""
         cg = jax.lax.dot_general(
             g_pix, g[6:9, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [P, C]
+            precision=HI, preferred_element_type=jnp.float32)  # [P, C]
         u = w * cg
-        suf = jnp.sum(u, axis=1, keepdims=True) - _cumsum_lanes_local(u)
+        suf = _dot_2x(u, tri_u)
         s_i = suf + s[:, None]
 
+        om = 1.0 - alpha
         one_m = jnp.maximum(om, 1e-6)
         dalpha = jnp.where(
             contrib, cg * t_before - (s_i + tb[:, None]) / one_m, 0.0)
         dcol = jax.lax.dot_general(
             g_pix, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [3, C]
+            precision=HI, preferred_element_type=jnp.float32)  # [3, C]
         live = jnp.logical_not(skip) & (alpha < ALPHA_MAX)
-        da_dopa = jnp.where(live, jnp.exp(power), 0.0)
         dpow = dalpha * jnp.where(live, alpha, 0.0)
-        sl = pl.ds(c * chunk_n, chunk_n)
-        dgrad_ref[0, 0, sl] += jnp.sum(
-            dpow * (-(g[2, :][None, :] * dx + g[3, :][None, :] * dy)),
-            axis=0)
-        dgrad_ref[0, 1, sl] += jnp.sum(
-            dpow * (-(g[4, :][None, :] * dy + g[3, :][None, :] * dx)),
-            axis=0)
-        dgrad_ref[0, 2, sl] += jnp.sum(dpow * (-0.5 * dx * dx), axis=0)
-        dgrad_ref[0, 3, sl] += jnp.sum(dpow * (-dx * dy), axis=0)
-        dgrad_ref[0, 4, sl] += jnp.sum(dpow * (-0.5 * dy * dy), axis=0)
-        dgrad_ref[0, 5, sl] += jnp.sum(dalpha * da_dopa, axis=0)
-        dgrad_ref[0, 6, sl] += dcol[0]
-        dgrad_ref[0, 7, sl] += dcol[1]
-        dgrad_ref[0, 8, sl] += dcol[2]
+
+        M = jax.lax.dot_general(
+            dpow, basis, (((0,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32)  # [C, 6]
+        M0, Mx, My = M[:, 0], M[:, 1], M[:, 2]
+        Mxx, Myy, Mxy = M[:, 3], M[:, 4], M[:, 5]
+        gx, gy = g[0, :], g[1, :]
+        A, B, C = g[2, :], g[3, :], g[4, :]
+        ex = gx * M0 - Mx          # sum_p dpow * dx
+        ey = gy * M0 - My          # sum_p dpow * dy
+
+        dopa = jnp.sum(dalpha * jnp.where(live, e, 0.0), axis=0)
+        rows = jnp.concatenate([
+            (-(A * ex + B * ey))[None, :],
+            (-(C * ey + B * ex))[None, :],
+            (-0.5 * (gx * ex - gx * Mx + Mxx))[None, :],
+            (-(gy * ex - gx * My + Mxy))[None, :],
+            (-0.5 * (gy * ey - gy * My + Myy))[None, :],
+            dopa[None, :],
+            dcol,
+            jnp.zeros((ROWS - 9, chunk_n), jnp.float32),
+        ], axis=0)
+        # one fused [ROWS, C] read-modify-write instead of nine strided
+        # single-row RMWs
+        dgrad_ref[0, :, pl.ds(c * chunk_n, chunk_n)] += rows
         return s + jnp.sum(u, axis=1)
 
     if n_chunks == 1:
         # single chunk: entry T == 1 and T_final falls out of the same
-        # cumprod the gradients need — one pass, no scratch sweep
+        # prefix matmul the gradients need — one pass, no scratch sweep
         g = data_ref[0, :, pl.ds(0, chunk_n)]
-        alpha, om, dx, dy, power, skip = _chunk_alpha_om(g, px, py)
-        w, contrib, t_before, t_out = _composite_chunk(
-            alpha, om, jnp.ones((1, p_blk), jnp.float32))
-        tb = t_out[0, :] * bgdotg
-        chunk_grads(0, g, alpha, om, dx, dy, power, skip, w, contrib,
+        alpha, e, power, skip = _chunk_alpha(g, basis)
+        w, contrib, t_before, lg, log_t_out = _chunk_transmittance(
+            alpha, jnp.zeros((1, p_blk), jnp.float32), tri)
+        tb = jnp.exp(log_t_out)[0, :] * bgdotg
+        chunk_grads(0, g, alpha, e, skip, w, contrib,
                     t_before, tb, jnp.zeros((p_blk,), jnp.float32))
         return
 
     def entry_ts(scratch):
-        # forward sweep: per-chunk entry T (chunk 0 enters at T=1)
-        def fbody(c, t):
-            scratch[pl.ds(c, 1), :] = t
+        # forward sweep: per-chunk entry log-T (chunk 0 enters at 0)
+        def fbody(c, log_t):
+            scratch[pl.ds(c, 1), :] = log_t
             g = data_ref[0, :, pl.ds(c * chunk_n, chunk_n)]
-            alpha, om, *_ = _chunk_alpha_om(g, px, py)
-            return _composite_chunk(alpha, om, t)[3]
+            alpha, *_ = _chunk_alpha(g, basis)
+            return _chunk_transmittance(alpha, log_t, tri)[4]
 
-        t_fin = jax.lax.fori_loop(
-            0, n_chunks, fbody, jnp.ones((1, p_blk), jnp.float32))
+        log_t_fin = jax.lax.fori_loop(
+            0, n_chunks, fbody, jnp.zeros((1, p_blk), jnp.float32))
         # tb[p] = T_final * (bg . g_p): the background's share of the
         # suffix term in dalpha
-        tb = t_fin[0, :] * bgdotg
+        tb = jnp.exp(log_t_fin)[0, :] * bgdotg
 
         # backward sweep (back-to-front): suffix carry s over later chunks
         def bbody(ci, s):
             c = n_chunks - 1 - ci
             g = data_ref[0, :, pl.ds(c * chunk_n, chunk_n)]
-            alpha, om, dx, dy, power, skip = _chunk_alpha_om(g, px, py)
-            t_in = scratch[pl.ds(c, 1), :]
-            w, contrib, t_before, _ = _composite_chunk(alpha, om, t_in)
-            return chunk_grads(c, g, alpha, om, dx, dy, power, skip,
-                               w, contrib, t_before, tb, s)
+            alpha, e, power, skip = _chunk_alpha(g, basis)
+            log_t_in = scratch[pl.ds(c, 1), :]
+            w, contrib, t_before, _, _ = _chunk_transmittance(
+                alpha, log_t_in, tri)
+            return chunk_grads(c, g, alpha, e, skip, w, contrib,
+                               t_before, tb, s)
 
         jax.lax.fori_loop(0, n_chunks, bbody,
                           jnp.zeros((p_blk,), jnp.float32))
 
     pl.run_scoped(entry_ts, pltpu.VMEM((n_chunks, p_blk), jnp.float32))
-
-
-def _cumsum_lanes_local(x):
-    """Inclusive cumsum along lanes (log-depth rolls)."""
-    C = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    sh = 1
-    while sh < C:
-        shifted = pltpu.roll(x, sh, axis=x.ndim - 1)
-        x = x + jnp.where(col >= sh, shifted, 0.0)
-        sh *= 2
-    return x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
