@@ -35,23 +35,57 @@ from unipre3d_tpu.utils import losses as loss_lib
 
 
 class Metricator:
-    """PSNR/SSIM(+LPIPS) per view (reference eval.py:20-33)."""
+    """PSNR/SSIM(+LPIPS) for ALL views of one example in a single jitted
+    call (reference eval.py:20-33 computes these per view; a per-view
+    host loop costs one ~30-50 ms tunnel round-trip per metric per view
+    — ~30 s of pure RTT on a 400-view orbit — so the TPU build batches
+    the whole [V,3,H,W] stack and fetches three [V] vectors once)."""
+
+    #: views per jitted call; larger V is padded+masked into chunks so
+    #: the 400-view orbit reuses one compiled executable (VGG/LPIPS on
+    #: 400 images at once would also be HBM-heavy)
+    CHUNK = 100
 
     def __init__(self, lpips_params=None):
         self.lpips_params = lpips_params
-        if lpips_params is not None:
-            from unipre3d_tpu.utils.lpips import lpips_fn
-            self._lpips = jax.jit(lambda p, a, b: lpips_fn(
-                p, a[None] * 2 - 1, b[None] * 2 - 1)[0])
-        self._ssim = jax.jit(lambda a, b: loss_lib.ssim(a[None], b[None]))
+        use_lpips = lpips_params is not None
 
-    def compute_metrics(self, image, target):
-        mse = float(jnp.mean((image - target) ** 2))
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        ssim = float(self._ssim(image, target))
-        lp = (float(self._lpips(self.lpips_params, image, target))
-              if self.lpips_params is not None else None)
-        return psnr, ssim, lp
+        def per_view(r, g):   # [V,3,H,W] -> dict of [V]
+            mse = jnp.mean((r - g) ** 2, axis=(1, 2, 3))
+            out = {
+                "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+                "ssim": loss_lib.ssim(r, g, size_average=False),
+                # reference eval.py:122 skips all-black GT views
+                "black": jnp.all(g == 0, axis=(1, 2, 3)),
+            }
+            if use_lpips:
+                from unipre3d_tpu.utils.lpips import lpips_fn
+                out["lpips"] = lpips_fn(lpips_params,
+                                        r * 2 - 1, g * 2 - 1)
+            return out
+
+        self._per_view = jax.jit(per_view)
+
+    def compute_metrics_batched(self, rendered, gt):
+        """rendered/gt: [V,3,H,W] device (or host) arrays -> dict of
+        numpy [V] vectors: psnr, ssim, black(+lpips). One jitted call
+        and one host fetch per ≤CHUNK views."""
+        V = rendered.shape[0]
+        chunks = []
+        for s in range(0, V, self.CHUNK):
+            r, g = rendered[s:s + self.CHUNK], gt[s:s + self.CHUNK]
+            pad = 0
+            if V > self.CHUNK and r.shape[0] < self.CHUNK:
+                pad = self.CHUNK - r.shape[0]
+                padw = [(0, pad)] + [(0, 0)] * (r.ndim - 1)
+                r, g = jnp.pad(r, padw), jnp.pad(g, padw)
+            out = self._per_view(r, g)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            if pad:
+                out = {k: v[:-pad] for k, v in out.items()}
+            chunks.append(out)
+        return {k: np.concatenate([c[k] for c in chunks])
+                for k in chunks[0]}
 
 
 def evaluate_dataset(model, eval_step, state, loader, cfg, out_folder,
@@ -66,10 +100,13 @@ def evaluate_dataset(model, eval_step, state, loader, cfg, out_folder,
     for d_idx, batch in enumerate(loader.epoch(0)):
         jb = jax.tree_util.tree_map(jnp.asarray, batch)
         res = eval_step(state, jb)
-        rendered = np.asarray(res["rendered"][0])      # [V, 3, H, W]
-        gt = np.asarray(jb["gt_images"][0])
+        # metrics stay on device: one batched call + [V]-vector fetches
+        m = metricator.compute_metrics_batched(res["rendered"][0],
+                                               jb["gt_images"][0])
         per = {k: [] for k in ("pc", "sc", "lc", "pn", "sn", "ln")}
         if d_idx < save_vis:
+            rendered = np.asarray(res["rendered"][0])  # [V, 3, H, W]
+            gt = np.asarray(jb["gt_images"][0])
             ex_dir = os.path.join(out_folder, f"vis_{d_idx:04d}")
             os.makedirs(ex_dir, exist_ok=True)
             from PIL import Image
@@ -79,18 +116,17 @@ def evaluate_dataset(model, eval_step, state, loader, cfg, out_folder,
                            * 255).astype(np.uint8)
                     Image.fromarray(arr).save(
                         os.path.join(ex_dir, f"{r:05d}_{tag}.png"))
-        for r in range(rendered.shape[0]):
-            if np.all(gt[r] == 0):   # reference: skip all-black GT
+        for r in range(m["psnr"].shape[0]):
+            if m["black"][r]:   # reference: skip all-black GT
                 continue
-            psnr, ssim, lp = metricator.compute_metrics(
-                jnp.asarray(rendered[r]), jnp.asarray(gt[r]))
+            lp = float(m["lpips"][r]) if "lpips" in m else None
             if r < n_in:
-                per["pc"].append(psnr)
-                per["sc"].append(ssim)
+                per["pc"].append(float(m["psnr"][r]))
+                per["sc"].append(float(m["ssim"][r]))
                 per["lc"].append(lp)
             else:
-                per["pn"].append(psnr)
-                per["sn"].append(ssim)
+                per["pn"].append(float(m["psnr"][r]))
+                per["sn"].append(float(m["ssim"][r]))
                 per["ln"].append(lp)
 
         def mean(v):

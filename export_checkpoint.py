@@ -63,6 +63,12 @@ def main():
         sd = export_transformer_predictor(params, stats)
     elif backbone in ("sparseunet", "ptv3"):
         sd = export_scene_predictor(params, stats, backbone)
+    elif backbone in ("pointmlp", "mamba3d", "pcm"):
+        from unipre3d_tpu.export.object_backbones import EXPORTERS
+        pn = params["point_network"]
+        pn_bs = stats.get("point_network", {})
+        sd = EXPORTERS[backbone](pn["encoder"], pn_bs.get("encoder", {}),
+                                 prefix="point_network.encoder")
     else:
         sd = export_state_dict(params, stats)
     out = args.out or os.path.join(args.experiment_path,

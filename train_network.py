@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from unipre3d_tpu.data import get_dataset, Loader
-from unipre3d_tpu.parallel import make_mesh, shard_batch
+from unipre3d_tpu.parallel import (make_mesh, maybe_initialize, replicate,
+                                   shard_host_batch)
 from unipre3d_tpu.training import checkpoint as ckpt_lib
 from unipre3d_tpu.training.config import load_config, save_config
 from unipre3d_tpu.training.logger import Logger
@@ -44,6 +45,13 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host pod: form the global runtime BEFORE any device query
+    # (reference forms its NCCL world in launch(),
+    # pointcept/engines/launch.py:89-102; here jax.distributed + GSPMD)
+    if maybe_initialize():
+        print(f"[train] distributed runtime: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{jax.device_count()} global devices")
     cfg = load_config(args.config_name, config_dir=args.config_dir,
                       overrides=args.overrides)
     out_dir = args.output_dir or os.path.join(
@@ -58,13 +66,18 @@ def main():
     compute_dtype = jnp.bfloat16 if cfg.get("tpu", {}).get(
         "compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
 
-    mesh = make_mesh()
+    mesh = make_mesh()   # global mesh: jax.devices() spans all hosts
     n_dev = mesh.devices.size
-    batch_size = int(cfg.opt.batch_size)
+    n_proc = jax.process_count()
+    batch_size = int(cfg.opt.batch_size)   # GLOBAL batch (reference
+    # semantics: opt.batch_size split over devices, train_network.py:67-71).
+    # n_proc divides n_dev (equal local devices per host), so rounding to
+    # a multiple of n_dev also makes the per-host share integral.
     if batch_size % n_dev != 0:
         batch_size = max(n_dev, batch_size - batch_size % n_dev)
         print(f"[train] batch_size adjusted to {batch_size} "
-              f"for {n_dev} devices")
+              f"for {n_dev} devices / {n_proc} hosts")
+    local_bs = batch_size // n_proc   # per-host share of the global batch
 
     train_ds = get_dataset(cfg, "train")
     val_ds = get_dataset(cfg, "val")
@@ -78,17 +91,37 @@ def main():
         # unmixed cameras/GT images. The reference uses mix_prob only
         # for segmentation fine-tuning (no render target), so the
         # rendering-pretraining CLI rejects it; the fine-tune engine
-        # (unipre3d_tpu/training/finetune.py) is the supported consumer.
+        # (unipre3d_tpu/training/hooks.py FinetuneTrainer) is the
+        # supported consumer.
         raise ValueError(
             "data.mix_prob > 0 is unsupported for rendering pretraining "
             "(half-mixed clouds vs unmixed render targets); use the "
             "segmentation fine-tune engine for Mix3d.")
-    train_loader = Loader(train_ds, batch_size, shuffle=True, seed=seed,
+    train_loader = Loader(train_ds, local_bs, shuffle=True, seed=seed,
                           shard_id=jax.process_index(),
-                          num_shards=jax.process_count(),
+                          num_shards=n_proc,
                           collate_hook=collate_hook)
-    val_loader = Loader(val_ds, min(batch_size, max(1, len(val_ds))),
-                        shuffle=False)
+    # val is sharded too; Loader pads shards to equal length so every
+    # host enters the same number of (global, SPMD) eval_step calls.
+    # The per-host val batch is rounded up to the local device count so
+    # the global val batch tiles the data axis exactly (tail batches are
+    # padded by repetition below — the reference's DistributedSampler
+    # double-counts padded examples the same way).
+    local_devs = max(1, n_dev // n_proc)
+    val_local_bs = max(1, min(local_bs, -(-max(1, len(val_ds)) // n_proc)))
+    val_local_bs = -(-val_local_bs // local_devs) * local_devs
+    val_loader = Loader(val_ds, val_local_bs, shuffle=False,
+                        shard_id=jax.process_index(), num_shards=n_proc)
+
+    def pad_to(batch, size):
+        """Repeat-pad a host batch's leading axis up to ``size``."""
+        def pad(x):
+            n = x.shape[0]
+            if n == size:
+                return x
+            reps = -(-size // n)
+            return np.concatenate([x] * reps, axis=0)[:size]
+        return jax.tree_util.tree_map(pad, batch)
 
     sample = next(iter(train_loader.epoch(0)))
     model, tx, state = create_train_state(cfg, rng, sample,
@@ -126,6 +159,12 @@ def main():
         state, best_psnr = ckpt_lib.load_checkpoint(latest, state)
         print(f"[train] resumed from step {int(state.step)}")
 
+    # commit the state to the global mesh (replicated): on a pod every
+    # host computed the same init / loaded the same checkpoint, so the
+    # host-local copies agree and device_put to the replicated sharding
+    # is valid (covers fresh init, warm start, and resume)
+    state = replicate(state, mesh)
+
     train_step = make_train_step(cfg, model, tx)
     eval_step = make_eval_step(cfg, model)
     donate = bool(cfg.get("tpu", {}).get("donate_state", True))
@@ -153,10 +192,15 @@ def main():
             ch, cw = [int(cfg.data.training_resolution)] * 2
         else:
             ch, cw = int(cfg.data.training_height), int(cfg.data.training_width)
+        # decoder_block_3 channel count = first VAE block width (128 for
+        # the SD-VAE; smaller under model.vae_overrides compile budgets)
+        vo = dict(cfg.model.get("vae_overrides") or {})
+        feat_ch = int(list(vo.get("block_out_channels", [128]))[0])
         vae_cache = DeviceVAECache(make_feature_fn(model), cache_entries,
-                                   ch, cw)
+                                   ch, cw, channels=feat_ch)
         print(f"[train] VAE feature cache: {cache_entries} slots "
-              f"({cache_entries * 128 * ch * cw * 2 / 2**30:.2f} GiB HBM)")
+              f"({cache_entries * feat_ch * ch * cw * 2 / 2**30:.2f} "
+              "GiB HBM)")
 
     logger = Logger(cfg, out_dir)
     iterations = int(cfg.opt.iterations)
@@ -170,13 +214,11 @@ def main():
     imgs_since = 0
     data_iter = train_loader.iter_from(int(state.step))
     for it in range(int(state.step) + 1, iterations + 1):
-        host_batch = next(data_iter)
-        batch = shard_batch(host_batch, mesh)
+        host_batch = next(data_iter)   # per-host shard of the global batch
+        batch = shard_host_batch(host_batch, mesh)
         if vae_cache is not None:
-            from unipre3d_tpu.parallel import batch_sharding
-            batch["vae_features"] = jax.device_put(
-                vae_cache.attach(host_batch, state.params, n_in),
-                batch_sharding(mesh))
+            batch["vae_features"] = shard_host_batch(
+                vae_cache.attach(host_batch, state.params, n_in), mesh)
         state, metrics = train_step(state, batch, lpips_params)
         imgs_since += batch_size
         if it % loss_log == 0:
@@ -190,9 +232,18 @@ def main():
             t_last = time.time()
             imgs_since = 0
         if it % val_log == 0 or it == iterations:
+            # cross-host PSNR reduction (reference dist.all_reduce,
+            # train_network.py:253-257): eval_step is a global SPMD
+            # computation over the data-sharded global val batch, so
+            # its batch means ARE the cross-host means (XLA collective
+            # over ICI/DCN); every host sees identical replicated
+            # scalars and the same number of val batches (Loader pads
+            # shards to equal length).
             psnrs, ssims = [], []
             for vb in val_loader.epoch(0):
-                res = eval_step(state, shard_batch(vb, mesh))
+                res = eval_step(state,
+                                shard_host_batch(pad_to(vb, val_local_bs),
+                                                 mesh))
                 psnrs.append(float(res["psnr_novel"]))
                 ssims.append(float(res["ssim_novel"]))
             psnr_novel = float(np.mean(psnrs)) if psnrs else 0.0
@@ -208,11 +259,20 @@ def main():
                         best_psnr)
         if it % loop_log == 0 and jax.process_index() == 0:
             # rotating-view test videos (reference
-            # generate_test_examples, train_network.py:497-556)
+            # generate_test_examples, train_network.py:497-556).
+            # On a pod the train state lives on the GLOBAL mesh; a
+            # process-0-only render on it would deadlock, so fetch the
+            # replicated values to host first (every host holds a full
+            # copy) and render on local devices — the analog of the
+            # reference rendering on rank 0's local DDP replica.
             from unipre3d_tpu.training.video import generate_test_examples
             try:
+                vid_state = state
+                if n_proc > 1:
+                    vid_state = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), state)
                 paths = generate_test_examples(
-                    model, state, cfg, test_loader, out_dir, it,
+                    model, vid_state, cfg, test_loader, out_dir, it,
                     int(cfg.opt.get("test_generation_num", 1)))
                 logger.log_videos(it, paths)
             except Exception as e:

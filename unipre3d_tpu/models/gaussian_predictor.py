@@ -85,9 +85,10 @@ class PointFeaturePredictor(nn.Module):
     def setup(self):
         bt = self.backbone_type
         if bt == "transformer":
-            self.encoder = PointTransformerEncoder(
-                in_channels=self.in_channels, num_groups=128,
-                encoder_dims=384, depth=16, dtype=self.dtype)
+            kw = dict(in_channels=self.in_channels, num_groups=128,
+                      encoder_dims=384, depth=16, dtype=self.dtype)
+            kw.update(self._overrides())
+            self.encoder = PointTransformerEncoder(**kw)
             self.final = FinalHead(128, dtype=self.dtype)
         elif bt == "pointmlp":
             from unipre3d_tpu.models.pointmlp import PointMLPEncoder

@@ -170,7 +170,10 @@ class SegHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = x.shape[-1]
-        x = ConvBNReLU(d, dtype=self.dtype, name="conv0")(x, train)
+        # bias=False: the reference's create_convblock1d drops the conv
+        # bias when a norm follows (openpoints/models/layers/conv.py:72)
+        x = ConvBNReLU(d, use_bias=False, dtype=self.dtype,
+                       name="conv0")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train,
                        rng_collection="droppath")(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
