@@ -79,29 +79,43 @@ def regime(name, inp, capacity=1024):
     res_h, res_w = inp["res_h"], inp["res_w"]
     tile_h, tile_w = auto_tile(res_h, res_w)
     print(f"\n=== {name}: N={inp['means'].shape[0]} {res_h}x{res_w} "
-          f"tile {tile_h}x{tile_w} cap {capacity} ===", flush=True)
+          f"auto tile {tile_h}x{tile_w} cap {capacity} ===", flush=True)
 
-    def fwd(impl, m, o, s, r, sh):
+    def fwd(impl, th, tw, m, o, s, r, sh):
         out = rasterize(m, o, s, r, sh, inp["wv"], inp["fp"], inp["cc"],
                         img_h=res_h, img_w=res_w, tanfovx=inp["tanfov"],
                         tanfovy=inp["tanfov"], bg_color=jnp.zeros(3),
                         sh_degree=1, capacity=capacity, impl=impl,
-                        tile_h=tile_h, tile_w=tile_w)
+                        tile_h=th, tile_w=tw)
         return jnp.sum(out["render"])
 
     args = (inp["means"], inp["opa"], inp["scales"], inp["rots"], inp["shs"])
     rows = {}
-    for impl in ("xla", "pallas_binned"):
-        f = jax.jit(lambda *a, impl=impl: fwd(impl, *a))
-        rows[f"{impl}_fwd"] = bench_scalar_fn(f, args)
-        print(f"{impl:14s} fwd     : {rows[f'{impl}_fwd']:8.3f} ms",
-              flush=True)
-        g = jax.jit(lambda *a, impl=impl: sum(
-            jnp.sum(x) for x in jax.grad(
-                lambda *b: fwd(impl, *b), argnums=(0, 1, 2, 3, 4))(*a)))
-        rows[f"{impl}_fwdbwd"] = bench_scalar_fn(g, args)
-        print(f"{impl:14s} fwd+bwd : {rows[f'{impl}_fwdbwd']:8.3f} ms",
-              flush=True)
+    # binned kernel VMEM-OOMs past ~512 px/tile (alpha is [P, 1024] f32
+    # per intermediate); measure each impl at every feasible tile
+    variants = [("xla", tile_h, tile_w), ("xla", 16, 16),
+                ("pallas_binned", min(tile_h, 16), min(tile_w, 16))]
+    if (tile_h, tile_w) != (min(tile_h, 16), min(tile_w, 16)):
+        variants.append(("pallas_binned",
+                         min(tile_h, 16), min(tile_w, 32)))
+    for impl, th, tw in variants:
+        tag = f"{impl}@{th}x{tw}"
+        try:
+            f = jax.jit(lambda *a, impl=impl, th=th, tw=tw:
+                        fwd(impl, th, tw, *a))
+            rows[f"{tag}_fwd"] = bench_scalar_fn(f, args)
+            print(f"{tag:24s} fwd     : {rows[f'{tag}_fwd']:8.3f} ms",
+                  flush=True)
+            g = jax.jit(lambda *a, impl=impl, th=th, tw=tw: sum(
+                jnp.sum(x) for x in jax.grad(
+                    lambda *b: fwd(impl, th, tw, *b),
+                    argnums=(0, 1, 2, 3, 4))(*a)))
+            rows[f"{tag}_fwdbwd"] = bench_scalar_fn(g, args)
+            print(f"{tag:24s} fwd+bwd : {rows[f'{tag}_fwdbwd']:8.3f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"{tag:24s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
 
     # binned prep alone (duplicate emit + sort + relayout, XLA side)
     def prep_only(m, o, s, r, sh):
@@ -109,7 +123,7 @@ def regime(name, inp, capacity=1024):
             m, o, s, r, sh, inp["wv"], inp["fp"], inp["cc"], res_h, res_w,
             inp["tanfov"], inp["tanfov"], 1)
         n_tiles = (res_h // tile_h) * (res_w // tile_w)
-        data_dup, dup_idx, seg = psb._prep_duplicates(
+        data_dup, dup_idx, d_ids, seg = psb._prep_duplicates(
             pg.mean2d, pg.conic, pg.color,
             jnp.where(pg.valid, pg.opacity, 0.0),
             jax.lax.stop_gradient(pg.depth), pg.radius, pg.valid,

@@ -223,6 +223,7 @@ class PointTransformerV3(nn.Module):
         sv_b = sv_b._replace(feats=x)
 
         # scene fusion + re-serialization of the merged cloud (ref :739-770)
+        fine_nbr3 = None
         if fusion_mlp is not None:
             V = unprojected.shape[1]
             img = image_features.reshape(B, V, *image_features.shape[1:])
@@ -231,10 +232,10 @@ class PointTransformerV3(nn.Module):
                 sv_b, world, img.astype(self.dtype), unprojected,
                 data["min_coord"], self.grid_size, self.pixel_capacity)
             sv_b = merged
-            nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+            fine_nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
                 sv_b, offs3)
             sv_b = sv_b._replace(
-                feats=fusion_mlp(sv_b.feats, nbr3, sv_b.mask, train))
+                feats=fusion_mlp(sv_b.feats, fine_nbr3, sv_b.mask, train))
 
         # per-forward random order permutation (reference shuffle_orders)
         orders = list(self.orders)
@@ -297,8 +298,13 @@ class PointTransformerV3(nn.Module):
                 depth -= 1
 
             ser = make_ser(cur_sv.coords, cur_sv.mask)
-            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
-                cur_sv._replace(feats=feats), offs3)
+            if s == 0 and fine_nbr3 is not None:
+                # the fusion step already built the stage-0 table on the
+                # same (merged) voxel set — reuse it
+                nbr = fine_nbr3
+            else:
+                nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+                    cur_sv._replace(feats=feats), offs3)
             for i in range(self.enc_depths[s]):
                 feats = PTv3Block(
                     self.enc_channels[s], self.enc_num_head[s],

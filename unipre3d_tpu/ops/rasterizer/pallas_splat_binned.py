@@ -4,11 +4,12 @@ Mirrors the reference CUDA rasterizer's structure
 (diff_gaussian_rasterization: duplicateWithKeys -> radix sort by
 (tile, depth) -> per-tile ranges -> per-tile front-to-back render):
 
-1. XLA prep: depth-sort all gaussians once; emit up to CAP=16 duplicate
-   slots per gaussian (its 4x4 clamped tile span); ONE flat sort of
-   ``tile*2^20 + depth_rank`` keys; per-tile segment offsets via
-   searchsorted; gather the packed [16, M] gaussian table in duplicate
-   order (HBM-resident).
+1. XLA prep: depth-sort all gaussians once (so a gaussian's id IS its
+   depth rank); emit one duplicate per overlapped tile within a static
+   ``dup_budget``; ONE flat payload-free sort of u32
+   ``tile << RANK_BITS | depth_rank`` keys; per-tile segment offsets
+   via a counting compare-sum; gather the packed [16, M] gaussian
+   table in duplicate order (HBM-resident).
 2. Forward kernel: grid (n_tiles, MAXC). The scalar-prefetched segment
    offsets drive the data BlockSpec index map, so each tile streams
    exactly its own chunk blocks from HBM (Mosaic double-buffers the
@@ -215,11 +216,28 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     ONE multi-key sort by (tile, view depth) orders the duplicates —
     no global depth argsort of the gaussian arrays is needed.
 
-    Returns (data_dup [16, M_pad], dup_idx [M_pad] gaussian id per
-    layout slot (-1 dead), seg [n_tiles+1] CHUNK-aligned offsets)."""
+    Returns (data_dup [16, M_pad], dup_idx [M_pad] DEPTH-RANK id per
+    layout slot (-1 dead), d_ids [N] original gaussian id per depth
+    rank, seg [n_tiles+1] CHUNK-aligned offsets)."""
     N = mean2d.shape[0]
     ty, tx = img_h // tile_h, img_w // tile_w
     n_tiles = ty * tx
+    assert N <= (1 << RANK_BITS) and n_tiles < (1 << (32 - RANK_BITS)) - 1
+
+    # Depth-sort the gaussians ONCE so a duplicate's owner id IS its
+    # depth rank: a single u32 key ``tile << RANK_BITS | rank`` then
+    # orders duplicates exactly like the CUDA rasterizer's packed
+    # (tile, depth) radix keys (diff_gaussian_rasterization
+    # duplicateWithKeys) — round 3 sorted THREE [M] arrays with TWO
+    # keys (tile u32 + depth f32), 3x the sort payload of this.
+    _, d_ids = jax.lax.sort(
+        (depth.astype(jnp.float32), jnp.arange(N, dtype=jnp.int32)))
+    mean2d = jnp.take(mean2d, d_ids, axis=0)
+    conic = jnp.take(conic, d_ids, axis=0)
+    color = jnp.take(color, d_ids, axis=0)
+    opacity = jnp.take(opacity, d_ids, axis=0)
+    radius = jnp.take(radius, d_ids, axis=0)
+    valid = jnp.take(valid, d_ids, axis=0)
     r = radius.astype(jnp.float32)
     gx, gy = mean2d[:, 0], mean2d[:, 1]
     tx0 = jnp.clip(jnp.floor((gx - r) / tile_w).astype(jnp.int32), 0, tx - 1)
@@ -241,13 +259,12 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     ind = jnp.zeros((M,), jnp.int32).at[offs[:-1]].add(1, mode="drop")
     ids = jnp.clip(jnp.cumsum(ind) - 1, 0, N - 1)
 
-    # one 6-wide row gather for all per-duplicate fields
+    # one 5-wide row gather for all per-duplicate fields
     table = jnp.stack([offs[:-1].astype(jnp.float32),
                        tx0.astype(jnp.float32), ty0.astype(jnp.float32),
                        sx.astype(jnp.float32),
-                       depth.astype(jnp.float32),
-                       c.astype(jnp.float32)])          # [6, N]
-    t = jnp.take(table, ids, axis=1)                    # [6, M]
+                       c.astype(jnp.float32)])          # [5, N]
+    t = jnp.take(table, ids, axis=1)                    # [5, M]
     m_iota = jnp.arange(M, dtype=jnp.int32)
     rank = m_iota - t[0].astype(jnp.int32)
     sx_i = jnp.maximum(t[3].astype(jnp.int32), 1)
@@ -256,13 +273,17 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     # rank < span guards budget overflow: past-the-end slots inherit the
     # last scattered gaussian with an out-of-span rank that could alias
     # a real tile below its bbox
-    ok = (m_iota < total) & (rank < t[5].astype(jnp.int32))
-    tkeys = jnp.where(ok, (t_y * tx + t_x).astype(jnp.uint32),
-                      INVALID_KEY)
-    depth_b = t[4]
-    tkeys_s, _, slots_s = jax.lax.sort(
-        (tkeys, depth_b, jnp.where(ok, ids, -1)), num_keys=2)
-    dup_ok = tkeys_s != INVALID_KEY
+    ok = (m_iota < total) & (rank < t[4].astype(jnp.int32))
+    # ids are depth ranks, so ONE u32 key orders by (tile, depth); the
+    # owner id rides in the low bits — sort carries NO payload arrays
+    keys = jnp.where(
+        ok, ((t_y * tx + t_x).astype(jnp.uint32) << RANK_BITS)
+        | ids.astype(jnp.uint32), INVALID_KEY)
+    keys_s = jax.lax.sort(keys)
+    dup_ok = keys_s != INVALID_KEY
+    tkeys_s = keys_s >> RANK_BITS          # invalid -> 2^12-1 >= n_tiles
+    slots_s = jnp.where(
+        dup_ok, (keys_s & ((1 << RANK_BITS) - 1)).astype(jnp.int32), -1)
 
     # raw per-tile offsets, then re-layout with CHUNK-aligned segments
     # (counting compare-sum: XLA's searchsorted lowers to a slow
@@ -311,14 +332,17 @@ def _prep_duplicates(mean2d, conic, color, opacity, depth, radius, valid,
     dup_idx = jnp.where(p < lim_p, dup_idx, -1)
 
     # gather only the 9 live rows (gather cost scales with rows), then
-    # zero-pad to the kernel's ROWS block height
+    # zero-pad to the kernel's ROWS block height. The table is in depth
+    # order (inputs were permuted above) so the depth-rank dup_idx
+    # gathers directly; d_ids maps ranks back to original gaussians for
+    # the backward scatter.
     data = _pack(mean2d, conic, color,
                  jnp.where(valid, opacity, 0.0), N)[:9]
     safe = jnp.clip(dup_idx, 0, N - 1)
     data_dup = jnp.take(data, safe, axis=1)
     data_dup = jnp.where((dup_idx >= 0)[None, :], data_dup, 0.0)
     data_dup = jnp.pad(data_dup, ((0, ROWS - 9), (0, 0)))
-    return data_dup, dup_idx, seg
+    return data_dup, dup_idx, d_ids, seg
 
 
 def _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w, tile_h, tile_w,
@@ -430,30 +454,32 @@ def _binned(mean2d, conic, color, opacity, depth, radius, valid, bg,
 
 def _binned_fwd(mean2d, conic, color, opacity, depth, radius, valid, bg,
                 img_h, img_w, tile_h, tile_w, maxc, dup_budget):
-    data_dup, dup_idx, seg = _prep_duplicates(
+    data_dup, dup_idx, d_ids, seg = _prep_duplicates(
         mean2d, conic, color, opacity, depth, radius, valid,
         img_h, img_w, tile_h, tile_w, dup_budget)
     tiles, logt = _splat2_fwd_impl(data_dup, seg, bg, img_h, img_w,
                                    tile_h, tile_w, maxc)
-    return tiles, (data_dup, dup_idx, seg, bg, logt, tiles,
+    return tiles, (data_dup, dup_idx, d_ids, seg, bg, logt, tiles,
                    mean2d.shape[0])
 
 
 def _binned_bwd(img_h, img_w, tile_h, tile_w, maxc, dup_budget, res,
                 g_tiles):
-    data_dup, dup_idx, seg, bg, logt, tiles, N = res
+    data_dup, dup_idx, d_ids, seg, bg, logt, tiles, N = res
     # total color-grad inner product per pixel (replaces the two-pass
     # kernel's phase A): tot = sum_c g_out[c] * (out[c] - bg[c]*T_fin)
     rgb_fg = tiles - bg[None, :, :] * jnp.exp(logt)     # [T, 3, P]
     tot = jnp.sum(g_tiles * rgb_fg, axis=1, keepdims=True)
     dd = _run_bwd_kernel(data_dup, seg, bg, logt, tot, g_tiles,
                          img_h, img_w, tile_h, tile_w, maxc)
-    # per-gaussian grads: one segment scatter-add over the layout->id
-    # map (dead slots land in the dump row N). TPU scatter-add is fast
-    # (~1.6 ms at 400k rows).
+    # per-gaussian grads: one segment scatter-add over the layout->rank
+    # map (dead slots land in the dump row N), then ONE [N] scatter
+    # unpermutes depth rank -> original gaussian id. TPU scatter-add is
+    # fast (~1.6 ms at 400k rows).
     tgt = jnp.where(dup_idx >= 0, dup_idx, N)
-    dG = jnp.zeros((N + 1, 9), jnp.float32).at[tgt].add(
-        dd[:9].T)[:N].T                                 # [9, N]
+    dG_rank = jnp.zeros((N + 1, 9), jnp.float32).at[tgt].add(
+        dd[:9].T)[:N]                                   # [N, 9] depth order
+    dG = jnp.zeros((N, 9), jnp.float32).at[d_ids].set(dG_rank).T  # [9, N]
     d_mean = jnp.stack([dG[0], dG[1]], axis=1)
     d_conic = jnp.stack([dG[2], dG[3], dG[4]], axis=1)
     d_color = jnp.stack([dG[6], dG[7], dG[8]], axis=1)

@@ -137,15 +137,20 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
             flat.depth, flat.valid, bg_color, img_h, img_w)
         return imgs.reshape(B, Vs, 3, img_h, img_w)
 
-    use_binned = impl_train == "pallas_binned" or \
-        (impl_train == "auto" and N > 4096
-         and jax.default_backend() == "tpu")
+    # Large-N routing: measured on the v5e at both routed regimes
+    # (tools/splat_breakdown.py, round 4), the XLA tiled renderer with
+    # auto_tile beats the binned Pallas kernel everywhere it is routed —
+    # 6.3 ms vs 29.7 ms fwd+bwd at 100k/128^2 (32x32 tiles; the binned
+    # kernel VMEM-OOMs past ~256 px/tile so it can't even use them) and
+    # 17.9 ms vs 30.4 ms at the scene 120x160/98k shape (8x32 tiles).
+    # The binned kernel's duplicate-sort prep alone costs 17 ms. So
+    # ``auto`` routes large N to the XLA path; ``pallas_binned`` stays
+    # available explicitly (tpu.raster_impl_train=pallas_binned).
+    use_binned = impl_train == "pallas_binned"
     if use_binned:
-        # large-N (scene) fast path: full-span duplicate-sort Pallas
-        # kernel, one view at a time under lax.map (sequential kernel
-        # launches, single compiled instance). Replaces the XLA path's
-        # per-tile [tiles, N] argsort compaction — the dominant cost at
-        # 80k gaussians x 8 views (round-2 profile: 362 ms fwd+bwd).
+        # full-span duplicate-sort Pallas kernel (CUDA-parity
+        # structure), one view at a time under lax.map (sequential
+        # kernel launches, single compiled instance).
         from unipre3d_tpu.ops.rasterizer import pallas_splat_binned as psb
         from unipre3d_tpu.ops.rasterizer.preprocess import \
             preprocess_gaussians
@@ -165,9 +170,16 @@ def render_supervision_views(gaussians: Dict[str, jnp.ndarray],
         flat = jax.tree_util.tree_map(
             lambda a: a.reshape(B * Vs, *a.shape[2:]), pg)
 
+        # clamp to <=256 px/tile: the kernel's [P, CHUNK] intermediates
+        # exceed scoped VMEM past that (measured OOM at 32x32)
+        b_th, b_tw = tile_h, tile_w
+        while b_th * b_tw > 256:
+            b_th, b_tw = ((b_th // 2, b_tw) if b_th >= b_tw
+                          else (b_th, b_tw // 2))
+
         def one(p):
             return psb.rasterize_projected_pallas_binned(
-                p, bg_color, img_h, img_w, tile_h=tile_h, tile_w=tile_w,
+                p, bg_color, img_h, img_w, tile_h=b_th, tile_w=b_tw,
                 max_per_tile=cap * 4)
 
         imgs = jax.lax.map(one, flat)
