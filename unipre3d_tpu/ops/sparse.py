@@ -99,46 +99,73 @@ def take_elements(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         table.dtype).reshape(shape)
 
 
+#: hierarchical-search fanouts: 512-code blocks of 16 sub-blocks of 32
+_L1, _L2 = 512, 32
+
+
 def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
                   k_chunk: int = 32, return_floor: bool = False):
-    """Exact-match lookup of tgt [M, K] in sorted codes [M] via a
-    batched merge sort — XLA's ``searchsorted`` lowers to a serialized
-    gather loop on TPU (measured 24 ms per 433k needles), while one
-    batched sort is ~2 ms. Returns row index or -1."""
+    """Exact-match lookup of tgt [M, K] in sorted codes [M]. Returns row
+    index or -1 (and optionally the floor rank: last code <= target).
+
+    Sort-free hierarchical rank (round 4): rank_right(t) = #codes <= t
+    is computed in three levels — a block-max compare-sum (VPU), one
+    sub-max row gather + compare, one leaf row gather + compare. Row
+    gathers cost ~3 ns/row on TPU, so the whole lookup is
+    O(needles) x ~2 row gathers: measured 5x faster than the previous
+    batched-merge-sort formulation (113 -> ~20 ms for the 5^3 stem
+    table at 102k voxels; XLA's own ``searchsorted`` lowers to a
+    serialized gather loop, 24 ms per 433k needles). ``k_chunk`` is
+    retained for signature compatibility (unused)."""
     M, K = tgt.shape
-    out_cols = []
-    arange2m = jnp.arange(2 * M, dtype=jnp.int32)
-    for k0 in range(0, K, k_chunk):
-        kc = min(k_chunk, K - k0)
-        tcol = tgt[:, k0:k0 + kc].T                       # [kc, M]
-        comb = jnp.concatenate(
-            [jnp.broadcast_to(codes, (kc, M)), tcol], axis=1)
-        # tie-break: codes (tag 0) before equal targets (tag 1) -> the
-        # rank of a target counts codes <= it ('right' semantics)
-        tag = jnp.concatenate(
-            [jnp.zeros((kc, M), jnp.uint8), jnp.ones((kc, M), jnp.uint8)],
-            axis=1)
-        idx = jnp.broadcast_to(arange2m, (kc, 2 * M))
-        _, tag_s, idx_s = jax.lax.sort((comb, tag, idx), num_keys=2,
-                                       dimension=1)
-        is_t = tag_s == 1
-        tgt_ord = jnp.cumsum(is_t.astype(jnp.int32), axis=1) - 1
-        merged_pos = jnp.broadcast_to(arange2m, (kc, 2 * M))
-        pos_right = merged_pos - tgt_ord                  # codes <= t
-        # back to original target order via an inverse-permutation sort
-        # (TPU scatters serialize: sort-by-original-index is ~2x cheaper)
-        val = jnp.where(is_t, pos_right, 0)
-        _, val_o = jax.lax.sort((idx_s, val), num_keys=1, dimension=1)
-        back = val_o[:, M:]                               # [kc, M]
-        cand = back - 1
-        cand_c = jnp.clip(cand, 0, M - 1)
-        found = (cand >= 0) & (take_elements(codes, cand_c) == tcol)
-        out_cols.append((jnp.where(found, cand_c, -1).T,
-                         cand.T))                         # [M, kc] each
-    res = jnp.concatenate([c[0] for c in out_cols], axis=1)
+    Mp = -(-M // _L1) * _L1
+    cp = codes if Mp == M else jnp.concatenate(
+        [codes, jnp.full((Mp - M,), INVALID_CODE, codes.dtype)])
+    nb = Mp // _L1
+    ns = _L1 // _L2
+    blocks = cp.reshape(nb, ns, _L2)
+    block_max = blocks[:, -1, -1]                        # [nb]
+    sub_max = blocks[:, :, -1]                           # [nb, ns]
+    # column 0 = previous block's max, so the floor element at a
+    # sub-block boundary is already in the gathered row (no [Q, nb]
+    # broadcast, no extra gather)
+    prev_last = jnp.concatenate(
+        [jnp.full((1,), INVALID_CODE, cp.dtype), block_max[:-1]])
+    sub_ext = jnp.concatenate([prev_last[:, None], sub_max], axis=1)
+    leaf = cp.reshape(nb * ns, _L2)                      # [nb*ns, L2]
+
+    t = tgt.reshape(-1)                                  # [Q]
+    # level 1: containing block = #blocks whose max <= t (sorted codes:
+    # later blocks are entirely greater)
+    j = jnp.sum(block_max[None, :] <= t[:, None], axis=1,
+                dtype=jnp.int32)
+    jc = jnp.clip(j, 0, nb - 1)
+    # level 2: sub-block within block j
+    row2 = jnp.take(sub_ext, jc, axis=0)                 # [Q, ns+1]
+    k = jnp.sum(row2[:, 1:] <= t[:, None], axis=1, dtype=jnp.int32)
+    kc = jnp.clip(k, 0, ns - 1)
+    # level 3: exact count within the leaf
+    row3 = jnp.take(leaf, jc * ns + kc, axis=0)          # [Q, L2]
+    cnt = jnp.sum(row3 <= t[:, None], axis=1, dtype=jnp.int32)
+    rank = j * _L1 + k * _L2 + cnt                       # = #codes <= t
+    cand = rank - 1                                      # floor rank
+
+    # code at the floor rank, from values already on hand: the last
+    # element counted in the leaf, else the previous sub-block's (or
+    # block's) max = row2[:, k]
+    def pick(row, i):
+        hot = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1) == \
+            i[:, None]
+        return jnp.sum(jnp.where(hot, row, 0), axis=1).astype(row.dtype)
+
+    floor_val = jnp.where(cnt > 0, pick(row3, cnt - 1), pick(row2, k))
+    found = (cand >= 0) & (floor_val == t)
+    cand_c = jnp.clip(cand, 0, M - 1)
+    res = jnp.where(found, cand_c, -1).reshape(M, K)
     if return_floor:
-        # floor rank: index of the last code <= target (-1 if none)
-        return res, jnp.concatenate([c[1] for c in out_cols], axis=1)
+        # floor may legitimately exceed M-1 only for INVALID targets
+        # matching the padding (masked by callers)
+        return res, jnp.clip(cand, -1, M - 1).reshape(M, K)
     return res
 
 
