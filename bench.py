@@ -67,18 +67,29 @@ def compiled_flops(jitted, *args):
         return None
 
 
-def mfu_anchor(flops_per_step, sec_per_step, samples_per_step):
+def mfu_anchor(flops_per_step, sec_per_step, samples_per_step,
+               ref_flops_per_step=None):
     """Achieved TFLOP/s + MFU on this chip, and the documented analytic
-    A100 throughput estimate for the same per-step FLOPs (BASELINE.json
-    asks for >=3x an A100 chip; the reference publishes no throughput,
-    so the anchor is FLOPs / (A100 peak * assumed eager MFU))."""
+    A100 throughput estimate (BASELINE.json asks for >=3x an A100 chip;
+    the reference publishes no throughput, so the anchor is
+    FLOPs / (A100 peak * assumed eager MFU)).
+
+    ``ref_flops_per_step``: the REFERENCE algorithm's per-step FLOPs —
+    i.e. the live-VAE step. The reference recomputes the frozen SD-VAE
+    every iteration (model/image_predictor.py:56-81); our device
+    feature cache removes that work, so comparing our cached-path
+    throughput against an A100 estimate of the cached FLOPs would
+    penalize us for our own optimization. Defaults to
+    ``flops_per_step`` when not given."""
     if flops_per_step is None or sec_per_step is None:
         return None
     tfps = flops_per_step / sec_per_step / 1e12
-    gf_per_sample = flops_per_step / samples_per_step
+    ref_flops = ref_flops_per_step or flops_per_step
+    gf_per_sample = ref_flops / samples_per_step
     a100_sps = A100_PEAK_FLOPS * A100_ASSUMED_MFU / gf_per_sample
     return {
         "flops_per_step": flops_per_step,
+        "ref_flops_per_step": ref_flops,
         "achieved_tflops_per_s": round(tfps, 2),
         "mfu_vs_v5e_peak": round(tfps * 1e12 / V5E_PEAK_FLOPS, 4),
         "a100_est_samples_per_s": round(a100_sps, 2),
@@ -89,9 +100,10 @@ def mfu_anchor(flops_per_step, sec_per_step, samples_per_step):
         "a100_est_range_samples_per_s": [
             round(A100_PEAK_FLOPS * 0.10 / gf_per_sample, 2),
             round(A100_PEAK_FLOPS * 0.35 / gf_per_sample, 2)],
-        "a100_est_method": f"flops/(312e12*{A100_ASSUMED_MFU} assumed "
-                           "eager-torch MFU); generous to the baseline "
-                           "(range shows 0.10-0.35 MFU bracket)",
+        "a100_est_method": "reference(live-VAE)-step flops/(312e12*"
+                           f"{A100_ASSUMED_MFU} assumed eager-torch MFU);"
+                           " generous to the baseline (range = 0.10-0.35"
+                           " MFU bracket)",
     }
 
 
@@ -168,7 +180,9 @@ def bench_train_step(small: bool):
     cached_sec = time_slope(make_run_n(cached_batch), lo, hi)
 
     anchor = mfu_anchor(compiled_flops(step, state, cached_batch),
-                        cached_sec, batch_size)
+                        cached_sec, batch_size,
+                        ref_flops_per_step=compiled_flops(step, state,
+                                                          sharded))
     return (batch_size / cached_sec / n_chips,
             batch_size / live_sec / n_chips, anchor)
 
@@ -238,7 +252,8 @@ def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
     float(m["loss"])
     cached_sec = time_slope(make_run_n(cached), lo, hi)
 
-    anchor = mfu_anchor(compiled_flops(step, state, cached), cached_sec, 1)
+    anchor = mfu_anchor(compiled_flops(step, state, cached), cached_sec, 1,
+                        ref_flops_per_step=compiled_flops(step, state, b))
     if anchor is not None:
         anchor["live_vae_samples_per_sec"] = round(
             1.0 / live_sec / jax.device_count(), 3)

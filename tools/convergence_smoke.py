@@ -15,6 +15,10 @@ signal (reference train_network.py:491-495):
    1k, restarts from its checkpoint, continues to 1.2k. The deterministic
    loader (Loader.iter_from) replays the same batches, so every val
    metric at 1.2k must match bitwise.
+4. (--compare-cache) cached-vs-live VAE features: identical runs except
+   tpu.vae_cache_entries; the PSNR_novel trajectories must agree within
+   1 dB at every val step (the cache differs only by bf16 feature
+   quantization, training/feature_cache.py).
 
 Artifacts (curves + summary.json) land in experiments_out/convergence/.
 
@@ -103,22 +107,61 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--object-only", action="store_true")
     ap.add_argument("--skip-resume", action="store_true")
+    ap.add_argument("--compare-cache", action="store_true",
+                    help="also run live-vs-cached VAE-feature "
+                         "equivalence (round-4 VERDICT #9)")
+    ap.add_argument("--cache-only", action="store_true",
+                    help="skip the convergence curves (implies "
+                         "--compare-cache --skip-resume)")
     args = ap.parse_args()
+    if args.cache_only:
+        args.compare_cache = True
+        args.skip_resume = True
+        args.object_only = True
 
     base = os.path.join(REPO, "experiments_out", "convergence")
     os.makedirs(base, exist_ok=True)
     summary = {"iters": args.iters, "ts": time.strftime("%F %T")}
 
-    d_obj = os.path.join(base, "object")
-    dt = run_cli("transformer_pretraining", d_obj, args.iters)
-    summary["object"] = check_rising(read_curve(d_obj), "object")
-    summary["object"]["wall_s"] = round(dt, 1)
+    if not args.cache_only:
+        d_obj = os.path.join(base, "object")
+        dt = run_cli("transformer_pretraining", d_obj, args.iters)
+        summary["object"] = check_rising(read_curve(d_obj), "object")
+        summary["object"]["wall_s"] = round(dt, 1)
 
     if not args.object_only:
         d_sc = os.path.join(base, "scene")
         dt = run_cli("sparseunet_pretraining", d_sc, args.iters)
         summary["scene"] = check_rising(read_curve(d_sc), "scene")
         summary["scene"]["wall_s"] = round(dt, 1)
+
+    if args.compare_cache:
+        # cached-vs-live VAE-feature equivalence (round-4 VERDICT #9):
+        # same seed + deterministic loader => the two runs differ only
+        # by the cache's bf16 feature quantization, so the PSNR_novel
+        # trajectories must track within tolerance at every val step.
+        n = min(args.iters, 400)
+        d_live = os.path.join(base, "object_live")
+        d_cach = os.path.join(base, "object_cached")
+        run_cli("transformer_pretraining", d_live, n,
+                extra=["tpu.vae_cache_entries=0", "logging.val_log=100"])
+        run_cli("transformer_pretraining", d_cach, n,
+                extra=["tpu.vae_cache_entries=512", "logging.val_log=100"])
+        cl = dict(read_curve(d_live))
+        cc = dict(read_curve(d_cach))
+        steps = sorted(set(cl) & set(cc))
+        assert steps, "no overlapping val steps"
+        deltas = {s: abs(cl[s] - cc[s]) for s in steps}
+        worst = max(deltas.values())
+        print(f"[smoke] cached-vs-live PSNR_novel deltas: "
+              f"{ {s: round(d, 3) for s, d in deltas.items()} } "
+              f"(worst {worst:.3f} dB)")
+        assert worst < 1.0, \
+            f"cached-path trajectory diverged from live: {deltas}"
+        summary["cache_equivalence"] = {
+            "steps": steps, "worst_delta_db": round(float(worst), 4),
+            "live": [[s, cl[s]] for s in steps],
+            "cached": [[s, cc[s]] for s in steps]}
 
     if not args.skip_resume:
         # A: straight to 1200. B: to 1000, then resume (model_latest.ckpt

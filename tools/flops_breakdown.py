@@ -96,7 +96,7 @@ def main():
         return render_loss(g, b)
 
     f = flops_of(lambda p, b: jax.grad(full_loss)(p, b)["point_network"]
-                 ["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"].sum(),
+                 ["encoder"]["block0"]["attn"]["qkv"]["kernel"].sum(),
                  state.params, batch)
     print(f"loss fwd+bwd        : {f/1e9:9.1f} GF")
 
@@ -108,9 +108,10 @@ def main():
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        # vae_features given -> the frozen VAE is skipped; image unused
         return jnp.sum(model.apply(
-            variables, vf,
-            method=lambda m, x: m._image_features(x)))
+            variables, None, vf,
+            method=lambda m, img, feats: m._image_features(img, feats)))
 
     f = flops_of(imgconv, state.params, vf)
     print(f"image_conv fwd      : {f/1e9:9.1f} GF")
