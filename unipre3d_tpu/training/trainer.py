@@ -46,9 +46,31 @@ def _is_frozen(path: Tuple) -> bool:
     return any(getattr(k, "key", None) == "image_network" for k in path)
 
 
+def split_frozen(params):
+    """Split a param tree into (trainable, frozen) at the top level.
+
+    The frozen SD-VAE subtree (``image_network``, ~80M params) is
+    excluded from autodiff and the optimizer entirely — the reference
+    freezes it by building AdamW only over the other param groups
+    (train_network.py:166-178). Round-4 measurement: threading the
+    frozen tree through grad/clip/apply_if_finite/apply_updates as
+    zeros cost ~9 ms of a 51 ms object step."""
+    if isinstance(params, dict) and "image_network" in params:
+        p = dict(params)
+        frozen = {"image_network": p.pop("image_network")}
+        return p, frozen
+    return params, {}
+
+
+def merge_frozen(train_params, frozen_params):
+    return {**train_params, **frozen_params} if frozen_params \
+        else train_params
+
+
 def make_optimizer(cfg):
     """AdamW(eps=1e-15, betas cfg) + StepLR(step_lr, lr_gamma) +
-    clip(1.0), NaN-guarded; frozen subtree zeroed."""
+    clip(1.0), NaN-guarded. Operates on the TRAINABLE subtree only
+    (see :func:`split_frozen`)."""
     base_lr = float(cfg.opt.base_lr)
     schedule = optax.exponential_decay(
         init_value=base_lr,
@@ -61,11 +83,7 @@ def make_optimizer(cfg):
         optax.adamw(schedule, b1=float(betas[0]), b2=float(betas[1]),
                     eps=1e-15, weight_decay=0.01),
     )
-    guarded = optax.apply_if_finite(inner, max_consecutive_errors=10 ** 8)
-    tx = optax.multi_transform(
-        {"train": guarded, "frozen": optax.set_to_zero()},
-        param_labels=lambda params: jax.tree_util.tree_map_with_path(
-            lambda path, _: "frozen" if _is_frozen(path) else "train", params))
+    tx = optax.apply_if_finite(inner, max_consecutive_errors=10 ** 8)
     return tx, schedule
 
 
@@ -265,7 +283,7 @@ def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx, schedule = make_optimizer(cfg)
-    opt_state = tx.init(params)
+    opt_state = tx.init(split_frozen(params)[0])
     return model, tx, TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         batch_stats=batch_stats, opt_state=opt_state,
@@ -289,7 +307,9 @@ def make_train_step(cfg, model, tx):
     lambda_lpips = float(cfg.opt.get("lambda_lpips", 0.01))
     start_lpips_after = int(cfg.opt.get("start_lpips_after", 0))
 
-    def loss_fn(params, batch_stats, batch, rng, step, lpips_params):
+    def loss_fn(train_params, frozen_params, batch_stats, batch, rng,
+                step, lpips_params):
+        params = merge_frozen(train_params, frozen_params)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -328,13 +348,14 @@ def make_train_step(cfg, model, tx):
 
     def train_step(state: TrainState, batch, lpips_params=None):
         rng, step_rng = jax.random.split(state.rng)
+        train_p, frozen_p = split_frozen(state.params)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, step_rng, state.step,
-            lpips_params)
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
+            train_p, frozen_p, state.batch_stats, batch, step_rng,
+            state.step, lpips_params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, train_p)
+        new_params = merge_frozen(optax.apply_updates(train_p, updates),
+                                  frozen_p)
         step = state.step + 1
         if use_ema:
             def ema_update(path, e, p):
