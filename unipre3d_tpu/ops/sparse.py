@@ -177,12 +177,14 @@ def find_neighbors(sv: SparseVoxels, offsets: np.ndarray) -> jnp.ndarray:
     coords+offset, or -1.
 
     For centered cubic kernels (the :func:`kernel_offsets` layout) only
-    the s^2 dz=0 columns go through the merge lookup; the dz != 0
-    columns are derived from sorted-order adjacency — z is the packed
-    code's low bits, so code(x,y,z±j) = code(x,y,z)±j and, codes being
-    unique and sorted, rank(c+1) = floor_rank(c)+1 when c+1 exists.
-    This cuts lookup cost 3x (k3) / 5x (k5): the merge sort dominates
-    and scales with the number of columns."""
+    the s^2 dz=0 columns go through the rank lookup; the dz != 0
+    columns are resolved from ONE 16-lane code window around the floor
+    rank — z is the packed code's low bits, so the codes of all present
+    (x+dx, y+dy, z+dz) with abs(dz) <= r occupy ranks
+    [floor-r, floor+r], which a two-row aligned gather covers for
+    r <= 4. This cuts lookup needles 3x (k3) / 5x (k5) and replaces the
+    former 2r take_elements verification passes (7.2 ms each at 84k/25
+    groups) with one gather + lane matching."""
     M = sv.coords.shape[0]
     codes = pack_code(sv.coords, sv.mask)  # sorted, invalid at end
     offs = np.asarray(offsets)             # [K, 3] (np: embeds as HLO const)
@@ -204,6 +206,7 @@ def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
                           s: int) -> jnp.ndarray:
     """Cubic-kernel fast path of :func:`find_neighbors` (see there)."""
     r = s // 2
+    assert r <= 4, "16-lane window covers |dz| <= 4 only"
     M = sv.coords.shape[0]
     lim = 1 << CODE_BITS
     dxdy = np.asarray([(dx, dy)
@@ -219,41 +222,39 @@ def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
         | z[:, None].astype(jnp.uint32),
         INVALID_CODE)                                           # [M, G]
     found0, floor0 = _merge_lookup(codes, tgt0, return_floor=True)
-    grp_ok = tgt0 != INVALID_CODE
-
-    def code_at(rank):
-        return take_elements(codes, jnp.clip(rank, 0, M - 1))
-
     # guard: an INVALID target would exact-match the INVALID padding
     # codes at the end of the sorted table
-    cols = {0: jnp.where(grp_ok, found0, -1)}
-    # upward (dz > 0): rank(c+j) = floor_{j-1}+1 when c+j exists
-    prev_u = floor0
-    for j in range(1, r + 1):
-        cand = prev_u + 1
-        zok = (z[:, None] + j) < lim
-        pres = grp_ok & zok & (cand < M) & \
-            (code_at(cand) == tgt0 + np.uint32(j))
-        cols[j] = jnp.where(pres, cand, -1)
-        prev_u = jnp.where(pres, cand, prev_u)
-    # downward (dz < 0): floor(c-j) = floor(c-j+1) - [c-j+1 exists]
-    prev_f = floor0
-    prev_present = found0 >= 0
-    for j in range(1, r + 1):
-        cand = prev_f - prev_present.astype(jnp.int32)
-        zok = (z[:, None] - j) >= 0
-        pres = grp_ok & zok & (cand >= 0) & \
-            (code_at(cand) == tgt0 - np.uint32(j))
-        cols[-j] = jnp.where(pres, cand, -1)
-        prev_f = cand
-        prev_present = pres
-    # x-major assembly: column of offset (dx, dy, dz) = group*s + (dz+r)
-    G = dxdy.shape[0]
-    parts = []
-    for gi in range(G):
-        for dz in range(-r, r + 1):
-            parts.append(cols[dz][:, gi])
-    return jnp.stack(parts, axis=1)
+    grp_ok = tgt0 != INVALID_CODE
+
+    # 16-lane aligned code window around the floor rank. The rank of a
+    # present (x+dx, y+dy, z+dz) differs from floor0 by at most |dz|
+    # (codes are integers: at most |dz| codes fit strictly between), so
+    # all candidates live in [floor0-r, floor0+r], covered by the two
+    # 8-rows starting at 8*((floor0-r)//8) whenever r <= 4.
+    n_pad = (-(-M // 8) + 1) * 8
+    cp = jnp.concatenate(
+        [codes, jnp.full((n_pad - M,), INVALID_CODE, codes.dtype)])
+    rows8 = cp.reshape(-1, 8)
+    base = jnp.clip((floor0 - r) // 8, 0, rows8.shape[0] - 2)   # [M, G]
+    win = jnp.concatenate([jnp.take(rows8, base, axis=0),
+                           jnp.take(rows8, base + 1, axis=0)],
+                          axis=-1)                              # [M, G, 16]
+    lane_rank = base[..., None] * 8 + jnp.arange(16, dtype=jnp.int32)
+
+    cols = []
+    for dz in range(-r, r + 1):
+        if dz == 0:
+            cols.append(jnp.where(grp_ok, found0, -1))
+            continue
+        zdz = z[:, None] + dz
+        zok = (zdz >= 0) & (zdz < lim)
+        t = tgt0 + np.uint32(dz) if dz > 0 else tgt0 - np.uint32(-dz)
+        match = win == t[..., None]          # at most one: codes unique
+        pres = grp_ok & zok & jnp.any(match, axis=-1)
+        cand = jnp.sum(jnp.where(match, lane_rank, 0), axis=-1)
+        cols.append(jnp.where(pres, cand, -1))
+    # x-major layout: column of offset (dx, dy, dz) = group*s + (dz+r)
+    return jnp.stack(cols, axis=2).reshape(M, -1)
 
 
 def _gather_rows(table: jnp.ndarray, idx_col: jnp.ndarray) -> jnp.ndarray:
@@ -265,7 +266,9 @@ def _gather_rows(table: jnp.ndarray, idx_col: jnp.ndarray) -> jnp.ndarray:
 
 def _gather_all(table: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     """Per-column gathers ([M,K] from [M,C] -> [M,K,C]) — measured ~1.6x
-    faster than one flat 2.3M-row gather on TPU."""
+    faster than one flat 2.3M-row gather on TPU, and 3x faster than the
+    rolled-window formulation at k=3^3/96ch (6.1 vs 18.6 ms at 86k
+    voxels, tools/exp_conv_gather.py round 4)."""
     return jnp.stack([_gather_rows(table, nbr_idx[:, k])
                       for k in range(nbr_idx.shape[1])], axis=1)
 
@@ -318,9 +321,14 @@ def subm_gather_matmul(feats: jnp.ndarray, nbr_idx: jnp.ndarray,
 
 
 def _conv_gather(table, nbr_idx):
+    """Gather strategy by kernel size (measured, tools/exp_conv_gather.py):
+    k=3^3 -> per-column gathers (6.1 ms vs 18.6 window at 86k/96ch: the
+    window's s-fold row saving is outweighed by its select-remap
+    traffic); k=5^3 -> z-window gather (125 per-column gathers would be
+    ~4x the rows of the 25-group window)."""
     K = nbr_idx.shape[1]
     s = round(K ** (1.0 / 3.0))
-    if s ** 3 == K and s > 1:
+    if s ** 3 == K and s >= 5:
         return _window_gather(table, nbr_idx, s)
     return _gather_all(table, nbr_idx)
 
