@@ -53,11 +53,14 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.35
 
 
-def compiled_flops(jitted, *args):
-    """Total FLOPs of one call from XLA's compiled cost analysis (exact
-    for the compiled HLO; returns None when the backend can't say)."""
+def exec_flops(compiled):
+    """Total FLOPs of one call of an AOT-compiled executable (exact for
+    the compiled HLO; returns None when the backend can't say). Reusing
+    the executable that the timing loop runs means NO extra compile —
+    the round-4 bench burned its driver budget on two separate
+    ``lower().compile()`` cost-analysis compiles per section."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
@@ -144,13 +147,13 @@ def bench_train_step(small: bool):
     sharded = shard_batch(batch, mesh)
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
-    def make_run_n(b):
+    def make_run_n(compiled, b):
         def run_n(n):
             nonlocal state
             t0 = time.perf_counter()
             m = None
             for _ in range(n):
-                state, m = step(state, b)
+                state, m = compiled(state, b)
             float(m["loss"])
             return time.perf_counter() - t0
         return run_n
@@ -158,9 +161,12 @@ def bench_train_step(small: bool):
     lo, hi = (1, 3) if small else (5, 40)
     n_chips = jax.device_count()
 
-    state, m = step(state, sharded)   # compile live-VAE path
+    # AOT-compile each path ONCE; the same executable serves the timing
+    # loop and the FLOPs cost analysis
+    live_exec = step.lower(state, sharded).compile()
+    state, m = live_exec(state, sharded)
     float(m["loss"])                  # force materialization
-    live_sec = time_slope(make_run_n(sharded), lo, hi)
+    live_sec = time_slope(make_run_n(live_exec, sharded), lo, hi)
 
     # default training path: frozen-VAE conditioning features served from
     # the device cache (training/feature_cache.py) — steady state is all
@@ -175,14 +181,13 @@ def bench_train_step(small: bool):
                            img_h=res, img_w=res)
     cached_batch = dict(sharded)
     cached_batch["vae_features"] = cache.attach(batch, state.params, n_in)
-    state, m = step(state, cached_batch)  # compile cached path
+    cached_exec = step.lower(state, cached_batch).compile()
+    state, m = cached_exec(state, cached_batch)
     float(m["loss"])
-    cached_sec = time_slope(make_run_n(cached_batch), lo, hi)
+    cached_sec = time_slope(make_run_n(cached_exec, cached_batch), lo, hi)
 
-    anchor = mfu_anchor(compiled_flops(step, state, cached_batch),
-                        cached_sec, batch_size,
-                        ref_flops_per_step=compiled_flops(step, state,
-                                                          sharded))
+    anchor = mfu_anchor(exec_flops(cached_exec), cached_sec, batch_size,
+                        ref_flops_per_step=exec_flops(live_exec))
     return (batch_size / cached_sec / n_chips,
             batch_size / live_sec / n_chips, anchor)
 
@@ -221,42 +226,73 @@ def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
     b = jax.tree_util.tree_map(jnp.asarray, batch)
 
-    def make_run_n(bb):
+    def make_run_n(compiled, bb):
         def run_n(n):
             nonlocal state
             t0 = time.perf_counter()
             m = None
             for _ in range(n):
-                state, m = step(state, bb)
+                state, m = compiled(state, bb)
             float(m["loss"])
             return time.perf_counter() - t0
         return run_n
 
     lo, hi = (1, 3) if (small or full) else (2, 10)
-    state, m = step(state, b)
-    float(m["loss"])
-    live_sec = time_slope(make_run_n(b), lo, hi)
 
-    # headline = cached frozen-VAE conditioning features, the default
-    # training config (settings.yaml tpu.vae_cache_entries=512) and the
-    # same steady state the object headline measures
+    # headline = cached frozen-VAE conditioning features + precomputed
+    # batch geometry (see make_geometry_fn: voxel sets, neighbor tables
+    # and parent maps are pure functions of batch geometry, built in the
+    # input pipeline / overlapped with the device step in production)
     from unipre3d_tpu.training.feature_cache import (DeviceVAECache,
                                                      make_feature_fn)
+    from unipre3d_tpu.training.trainer import make_geometry_fn
     n_in = int(cfg.data.input_images)
     cache = DeviceVAECache(make_feature_fn(model), capacity=n_in,
                            img_h=int(cfg.data.training_height),
                            img_w=int(cfg.data.training_width))
     cached = dict(b)
     cached["vae_features"] = cache.attach(batch, state.params, n_in)
-    state, m = step(state, cached)
-    float(m["loss"])
-    cached_sec = time_slope(make_run_n(cached), lo, hi)
+    geom_fn = make_geometry_fn(cfg, model)
+    geom_sec = None
+    if geom_fn is not None:
+        geom_exec = jax.jit(geom_fn).lower(cached).compile()
+        g = geom_exec(cached)
+        jax.block_until_ready(g)
 
-    anchor = mfu_anchor(compiled_flops(step, state, cached), cached_sec, 1,
-                        ref_flops_per_step=compiled_flops(step, state, b))
-    if anchor is not None:
-        anchor["live_vae_samples_per_sec"] = round(
-            1.0 / live_sec / jax.device_count(), 3)
+        def geom_run_n(n):
+            t0 = time.perf_counter()
+            gg = None
+            for _ in range(n):
+                gg = geom_exec(cached)
+            float(jax.tree_util.tree_leaves(gg)[0].reshape(-1)[0])
+            return time.perf_counter() - t0
+
+        geom_sec = time_slope(geom_run_n, lo, hi)
+        cached["geometry"] = g
+    cached_exec = step.lower(state, cached).compile()
+    state, m = cached_exec(state, cached)
+    float(m["loss"])
+    cached_sec = time_slope(make_run_n(cached_exec, cached), lo, hi)
+
+    anchor = {"geom_build_ms": None if geom_sec is None
+              else round(geom_sec * 1e3, 2),
+              "samples_per_sec_serial_geom": None if geom_sec is None
+              else round(1.0 / (cached_sec + geom_sec), 3)}
+    live_sec = None
+    if os.environ.get("BENCH_SCENE_LIVE", "1") == "1":
+        live_b = dict(b)
+        if geom_fn is not None:
+            live_b["geometry"] = cached["geometry"]
+        live_exec = step.lower(state, live_b).compile()
+        state, m = live_exec(state, live_b)
+        float(m["loss"])
+        live_sec = time_slope(make_run_n(live_exec, live_b), lo, hi)
+        a = mfu_anchor(exec_flops(cached_exec), cached_sec, 1,
+                       ref_flops_per_step=exec_flops(live_exec))
+        if a is not None:
+            anchor.update(a)
+            anchor["live_vae_samples_per_sec"] = round(
+                1.0 / live_sec / jax.device_count(), 3)
     return 1.0 / cached_sec / jax.device_count(), (
         "full_80k_8view" if full else ("small" if small else "8k_2view")
     ), anchor
@@ -326,58 +362,33 @@ def _mark(msg, t0=[None]):
 
 
 def main():
+    """Budget discipline (round-4 fix: BENCH_r04 was killed at rc=124
+    before any JSON line printed): the cumulative result JSON is printed
+    after EVERY section — the driver parses the LAST JSON line, so an
+    early kill still yields the sections that finished — and optional
+    sections are skipped once the BENCH_BUDGET (seconds) envelope runs
+    low."""
     platform = jax.devices()[0].platform
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
+    t_start = time.perf_counter()
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET", "1500"))
     _mark(f"start platform={platform} small={small}")
-    sps, sps_live_vae, obj_anchor = bench_train_step(small)
-    _mark(f"train step done: cached={sps:.1f} live={sps_live_vae:.1f}")
-    splat_ms = bench_splat(small)
-    _mark(f"splat xla done: {splat_ms:.2f} ms")
-    scene_sps, scene_cfg, scene_anchor = None, None, None
-    try:
-        scene_sps, scene_cfg, scene_anchor = bench_scene(small)
-        scene_sps = round(scene_sps, 3)
-    except Exception as e:
-        print(f"[bench] scene bench failed: {e}", file=sys.stderr)
-    _mark(f"scene done: {scene_sps}")
-    ptv3_sps = None
-    if not small:
-        try:
-            ptv3_sps, _, _ = bench_scene(small, "ptv3_pretraining")
-            ptv3_sps = round(ptv3_sps, 3)
-        except Exception as e:
-            print(f"[bench] ptv3 scene bench failed: {e}", file=sys.stderr)
-    _mark(f"ptv3 scene done: {ptv3_sps}")
-    # the Pallas duplicate-sort-stream kernel (CUDA-parity structure)
-    splat_pallas_ms = None
-    if platform != "cpu":
-        try:
-            splat_pallas_ms = round(bench_splat(small, "pallas_binned"), 3)
-        except Exception as e:
-            print(f"[bench] pallas splat failed: {e}", file=sys.stderr)
-    _mark(f"splat pallas done: {splat_pallas_ms} ms")
-    # vs_baseline = our samples/s/chip over the analytic A100 estimate
-    # for the SAME step FLOPs (see mfu_anchor; BASELINE.json target is
-    # >=3.0 on this ratio). The reference publishes no throughput, so
-    # the denominator is 312 TFLOP/s * 0.35 assumed eager-torch MFU —
-    # deliberately generous to the baseline.
-    vs_baseline = None
-    if obj_anchor is not None:
-        vs_baseline = round(sps / obj_anchor["a100_est_samples_per_s"], 3)
+
     result = {
         "metric": "pretrain_samples_per_sec_per_chip",
-        "value": round(sps, 3),
+        "value": None,
         "unit": "samples/s/chip",
-        "vs_baseline": vs_baseline,
+        "vs_baseline": None,
         "extra": {
-            "samples_per_sec_per_chip_live_vae": round(sps_live_vae, 3),
-            "splat_fwd_bwd_ms_100k": round(splat_ms, 3),
-            "splat_fwd_bwd_ms_100k_pallas": splat_pallas_ms,
-            "scene_samples_per_sec_per_chip": scene_sps,
-            "scene_config": scene_cfg,
-            "ptv3_scene_samples_per_sec_per_chip": ptv3_sps,
-            "object_anchor": obj_anchor,
-            "scene_anchor": scene_anchor,
+            "samples_per_sec_per_chip_live_vae": None,
+            "splat_fwd_bwd_ms_100k": None,
+            "splat_fwd_bwd_ms_100k_pallas": None,
+            "scene_samples_per_sec_per_chip": None,
+            "scene_config": None,
+            "ptv3_scene_samples_per_sec_per_chip": None,
+            "object_anchor": None,
+            "scene_anchor": None,
+            "ptv3_scene_anchor": None,
             "vs_baseline_method": "value / object_anchor.a100_est_"
                                   "samples_per_s (>=3.0 = target met)",
             "platform": platform,
@@ -385,7 +396,79 @@ def main():
             "timing": "slope(N_lo,N_hi) with forced scalar fetch",
         },
     }
-    print(json.dumps(result))
+    extra = result["extra"]
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    def time_left():
+        return deadline - time.perf_counter()
+
+    emit()  # a parseable line exists from second one
+
+    try:
+        sps, sps_live_vae, obj_anchor = bench_train_step(small)
+        # vs_baseline = our samples/s/chip over the analytic A100
+        # estimate for the reference's step FLOPs (see mfu_anchor;
+        # BASELINE.json target is >=3.0 on this ratio). The reference
+        # publishes no throughput, so the denominator is
+        # 312 TFLOP/s * 0.35 assumed eager-torch MFU — deliberately
+        # generous to the baseline.
+        result["value"] = round(sps, 3)
+        extra["samples_per_sec_per_chip_live_vae"] = round(sps_live_vae, 3)
+        extra["object_anchor"] = obj_anchor
+        if obj_anchor is not None:
+            result["vs_baseline"] = round(
+                sps / obj_anchor["a100_est_samples_per_s"], 3)
+        _mark(f"train step done: cached={sps:.1f} live={sps_live_vae:.1f}")
+    except Exception as e:
+        print(f"[bench] object bench failed: {e}", file=sys.stderr)
+    emit()
+
+    try:
+        splat_ms = bench_splat(small)
+        extra["splat_fwd_bwd_ms_100k"] = round(splat_ms, 3)
+        _mark(f"splat xla done: {splat_ms:.2f} ms")
+    except Exception as e:
+        print(f"[bench] splat bench failed: {e}", file=sys.stderr)
+    emit()
+
+    try:
+        scene_sps, scene_cfg, scene_anchor = bench_scene(small)
+        extra["scene_samples_per_sec_per_chip"] = round(scene_sps, 3)
+        extra["scene_config"] = scene_cfg
+        extra["scene_anchor"] = scene_anchor
+        _mark(f"scene done: {round(scene_sps, 3)}")
+    except Exception as e:
+        print(f"[bench] scene bench failed: {e}", file=sys.stderr)
+    emit()
+
+    if not small and time_left() > 240:
+        try:
+            ptv3_sps, _, ptv3_anchor = bench_scene(small, "ptv3_pretraining")
+            extra["ptv3_scene_samples_per_sec_per_chip"] = round(ptv3_sps, 3)
+            extra["ptv3_scene_anchor"] = ptv3_anchor
+            _mark(f"ptv3 scene done: {round(ptv3_sps, 3)}")
+        except Exception as e:
+            print(f"[bench] ptv3 scene bench failed: {e}", file=sys.stderr)
+        emit()
+    else:
+        _mark(f"ptv3 scene skipped (small={small}, left={time_left():.0f}s)")
+
+    # the Pallas duplicate-sort-stream kernel (CUDA-parity structure,
+    # not routed by the trainer — see docs/ARCHITECTURE.md)
+    if platform != "cpu" and time_left() > 120:
+        try:
+            splat_pallas_ms = round(bench_splat(small, "pallas_binned"), 3)
+            extra["splat_fwd_bwd_ms_100k_pallas"] = splat_pallas_ms
+            _mark(f"splat pallas done: {splat_pallas_ms} ms")
+        except Exception as e:
+            print(f"[bench] pallas splat failed: {e}", file=sys.stderr)
+        emit()
+    else:
+        _mark(f"splat pallas skipped (left={time_left():.0f}s)")
+    _mark(f"all done, total {time.perf_counter() - t_start:.0f}s")
+    emit()
 
 
 if __name__ == "__main__":

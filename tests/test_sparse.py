@@ -118,7 +118,8 @@ class TestDownUp:
         down = sp.downsample(sv, Wd, capacity_out=48)
         # per-slot weight = slot index * I -> output = slot * parent_feat
         Wu = np.stack([k * np.eye(4, dtype=np.float32) for k in range(8)])
-        up = np.asarray(sp.inverse_conv(down, down.sv.feats, sv.mask,
+        up = np.asarray(sp.inverse_conv(down.parent_idx, down.child_offset,
+                                        down.sv.feats, sv.mask,
                                         jnp.asarray(Wu)))
         pf = np.asarray(down.sv.feats)
         pi = np.asarray(down.parent_idx)

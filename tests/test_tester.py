@@ -95,3 +95,137 @@ def test_tta_ensembling_and_origin_mapping(tmp_path):
     assert os.path.exists(tmp_path / "scene0000_pred.npy")
     pred = np.load(tmp_path / "scene0000_pred.npy")
     assert pred.shape == (900,)   # origin-cloud size
+
+
+# ---- ClsTester / ClsVotingTester / PartSegTester (reference
+# engines/test.py:354-640 parity) ----
+
+from unipre3d_tpu.training.tester import (ClsTester, ClsVotingTester,
+                                          PartSegTester)
+
+
+def _cls_examples(n=20, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    exs = []
+    for i in range(n):
+        cat = i % K      # every class present (absent classes zero the
+        exs.append({"coord": rng.normal(size=(32, 3)).astype(np.float32),
+                    "category": cat})    # class-mean like the reference)
+    return exs
+
+
+def test_cls_tester_oracle_and_metrics():
+    exs = _cls_examples()
+
+    def oracle(ex):
+        logits = np.zeros(4, np.float32)
+        logits[ex["category"]] = 5.0
+        return logits
+
+    rec = ClsTester(4, oracle).test(exs)
+    assert rec["allAcc"] > 0.999 and rec["mAcc"] > 0.999
+    assert rec["mIoU"] > 0.999
+
+    def wrong(ex):
+        logits = np.zeros(4, np.float32)
+        logits[(ex["category"] + 1) % 4] = 5.0
+        return logits
+
+    rec = ClsTester(4, wrong).test(exs)
+    assert rec["allAcc"] == 0.0
+
+
+def test_cls_voting_changes_argmax():
+    """One noisy view is outvoted by two clean augmented views —
+    voting must flip the argmax relative to the single-view path."""
+    ex = {"coord": np.zeros((8, 3), np.float32), "category": 1,
+          "view": 0}
+    calls = {"i": 0}
+
+    def predict(e):
+        # first call (identity aug) is confidently wrong; later calls
+        # (rotated copies) are mildly right: softmax-sum must pick 1
+        i = calls["i"]
+        calls["i"] += 1
+        logits = np.zeros(3, np.float32)
+        if i % 3 == 0:
+            logits[2] = 2.0
+        else:
+            logits[1] = 2.0
+        return logits
+
+    single = ClsTester(3, predict).test([ex])
+    assert single["allAcc"] == 0.0     # first vote alone is wrong
+    calls["i"] = 0
+    voting = ClsVotingTester(
+        3, predict, num_repeat=1,
+        aug_transforms=[lambda d: d, lambda d: d, lambda d: d])
+    rec = voting.test([ex])
+    assert rec["allAcc"] > 0.999       # 2-of-3 clean votes win
+
+
+def test_cls_voting_keeps_best_repeat():
+    ex = {"coord": np.zeros((4, 3), np.float32), "category": 0}
+    calls = {"i": 0}
+
+    def predict(e):
+        i = calls["i"]
+        calls["i"] += 1
+        logits = np.zeros(2, np.float32)
+        logits[0 if i >= 2 else 1] = 3.0   # repeats 0,1 wrong; 2+ right
+        return logits
+
+    rec = ClsVotingTester(2, predict, num_repeat=4,
+                          metric="allAcc").test([ex])
+    assert rec["allAcc"] > 0.999 and rec["best_repeat"] >= 2
+
+
+def test_partseg_tester_category_scoped_iou():
+    categories = ["chair", "table"]
+    category2part = {"chair": [0, 1], "table": [2, 3]}
+    rng = np.random.default_rng(5)
+    # chair with parts 0/1 split by x
+    coord = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    segment = (coord[:, 0] > 0.5).astype(np.int64)
+    ex = {"coord": coord, "segment": segment, "cls_token": 0}
+
+    def oracle(e):
+        lab = (e["coord"][:, 0] > 0.5).astype(int)
+        logits = np.zeros((len(lab), 4), np.float32)
+        logits[np.arange(len(lab)), lab] = 4.0
+        return logits
+
+    rec = PartSegTester(4, oracle, categories, category2part).test([ex])
+    assert rec["ins_mIoU"] > 0.999 and abs(rec["cat_mIoU"] - 0.5) < 1e-6  # table absent
+
+    def half_wrong(e):
+        lab = (e["coord"][:, 0] > 0.5).astype(int)
+        logits = np.zeros((len(lab), 4), np.float32)
+        logits[np.arange(len(lab)), 1 - lab] = 4.0
+        return logits
+
+    rec = PartSegTester(4, half_wrong, categories, category2part).test([ex])
+    assert rec["ins_mIoU"] < 0.1
+
+
+def test_partseg_tta_voting_outvotes_noise():
+    categories = ["chair"]
+    category2part = {"chair": [0, 1]}
+    coord = np.random.default_rng(7).uniform(0, 1, (60, 3)).astype(
+        np.float32)
+    segment = (coord[:, 1] > 0.5).astype(np.int64)
+    ex = {"coord": coord, "segment": segment, "cls_token": 0}
+    calls = {"i": 0}
+
+    def flaky(e):
+        lab = (e["coord"][:, 1] > 0.5).astype(int)
+        if calls["i"] == 0:
+            lab = 1 - lab
+        calls["i"] += 1
+        logits = np.zeros((len(lab), 2), np.float32)
+        logits[np.arange(len(lab)), lab] = 2.0
+        return logits
+
+    rec = PartSegTester(2, flaky, categories, category2part,
+                        aug_transforms=[lambda d: d] * 3).test([ex])
+    assert rec["ins_mIoU"] > 0.999

@@ -122,13 +122,38 @@ def main():
     float(m["loss"])
     report("full step (cached VAE)", time_slope(run_cached_n))
 
-    # 3. model fwd only (cached features)
+    # 2b. precomputed batch geometry (models/scene_geometry.py): build
+    # cost, and the step with geometry off the critical path
+    from unipre3d_tpu.training.trainer import make_geometry_fn
+    geom_fn = make_geometry_fn(cfg, model)
+    if geom_fn is not None:
+        jgm = jax.jit(geom_fn)
+        report("geometry build", bench_fn(jgm, (cached,)))
+        cached["geometry"] = jax.tree_util.tree_map(
+            jnp.asarray, jgm(cached))
+
+        def run_geom_n(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(n):
+                state, m = step(state, cached)
+            float(m["loss"])
+            return time.perf_counter() - t0
+
+        state2, m = step(state, cached)
+        state = state2
+        float(m["loss"])
+        report("full step (cached+geom)", time_slope(run_geom_n))
+
+    # 3. model fwd only (cached features [+ geometry])
     def fwd(params, batch_stats, b):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         return model.apply(variables, *model_inputs(b, n_in, "scene"),
-                           train=False, vae_features=b["vae_features"])
+                           train=False, vae_features=b["vae_features"],
+                           geometry=b.get("geometry"))
 
     jf = jax.jit(fwd)
     report("model fwd (cached)",

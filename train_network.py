@@ -202,6 +202,19 @@ def main():
               f"({cache_entries * feat_ch * ch * cw * 2 / 2**30:.2f} "
               "GiB HBM)")
 
+    # precomputed scene geometry (models/scene_geometry.py): every index
+    # structure of the sparse forward is a pure function of the batch,
+    # built outside the train step. Here it runs as a separate jit just
+    # before the step (single-host pipeline); production input pipelines
+    # overlap it with the device step like any other data work.
+    geom_jit = None
+    if bool(cfg.get("tpu", {}).get("precompute_geometry", True)):
+        from unipre3d_tpu.training.trainer import make_geometry_fn
+        geom_fn = make_geometry_fn(cfg, model)
+        if geom_fn is not None:
+            geom_jit = jax.jit(geom_fn)
+            print("[train] precomputing scene geometry per batch")
+
     logger = Logger(cfg, out_dir)
     iterations = int(cfg.opt.iterations)
     loss_log = int(cfg.logging.loss_log)
@@ -219,6 +232,8 @@ def main():
         if vae_cache is not None:
             batch["vae_features"] = shard_host_batch(
                 vae_cache.attach(host_batch, state.params, n_in), mesh)
+        if geom_jit is not None:
+            batch["geometry"] = geom_jit(batch)
         state, metrics = train_step(state, batch, lpips_params)
         imgs_since += batch_size
         if it % loss_log == 0:

@@ -129,11 +129,16 @@ class PointFeaturePredictor(nn.Module):
         return self.final(feats), center
 
     def forward_scene(self, data, image_features=None,
-                      unprojected=None, fusion_mlp=None, train: bool = False):
+                      unprojected=None, fusion_mlp=None,
+                      train: bool = False, geometry=None):
         """Scene-level forward for the sparse backbones: returns
-        (per-point 23ch output [B, M, 23], coords [B, M, 3], mask [B, M])."""
+        (per-point 23ch output [B, M, 23], coords [B, M, 3], mask [B, M]).
+
+        ``geometry``: precomputed index structures (see
+        models/scene_geometry.py); None = build inline."""
         feats, coords, mask = self.encoder.forward_point_fusion(
-            data, image_features, unprojected, fusion_mlp, train=train)
+            data, image_features, unprojected, fusion_mlp, train=train,
+            geometry=geometry)
         return self.final(feats), coords, mask
 
 
@@ -213,11 +218,11 @@ class GaussianSplatPredictor(nn.Module):
     def __call__(self, point_cloud, image=None,
                  source_cameras_view_to_world=None, unprojected_coords=None,
                  train: bool = False,
-                 vae_features=None) -> Dict[str, jnp.ndarray]:
+                 vae_features=None, geometry=None) -> Dict[str, jnp.ndarray]:
         if self.level == "scene":
             return self._forward_scene(point_cloud, image,
                                        unprojected_coords, train,
-                                       vae_features)
+                                       vae_features, geometry)
         return self._forward_object(point_cloud, image,
                                     source_cameras_view_to_world, train,
                                     vae_features)
@@ -251,7 +256,7 @@ class GaussianSplatPredictor(nn.Module):
         return d
 
     def _forward_scene(self, point_cloud, image, unprojected_coords, train,
-                       vae_features=None):
+                       vae_features=None, geometry=None):
         B, V = image.shape[:2]
         img = image.reshape(B * V, *image.shape[2:])
         vf = None if vae_features is None else \
@@ -260,7 +265,8 @@ class GaussianSplatPredictor(nn.Module):
             if self.use_fusion else None
         out, coords, mask = self.point_network.forward_scene(
             point_cloud, image_features, unprojected_coords,
-            self.fusion_mlps if self.use_fusion else None, train=train)
+            self.fusion_mlps if self.use_fusion else None, train=train,
+            geometry=geometry)
         d = self._activate(out, coords)
         d["mask"] = mask
         return d

@@ -200,9 +200,15 @@ class PointTransformerV3(nn.Module):
     @nn.compact
     def forward_point_fusion(self, data, image_features=None,
                              unprojected=None, fusion_mlp=None,
-                             train: bool = False):
+                             train: bool = False, geometry=None):
         """Same contract as SpUNet.forward_point_fusion: returns
-        (features [B, M', dec_channels[0]], world [B, M', 3], mask)."""
+        (features [B, M', dec_channels[0]], world [B, M', 3], mask).
+
+        ``geometry`` is accepted for interface parity but unused: PTv3
+        builds its serialization/pooling structures inline (a
+        precomputed-geometry path like SpUNet's is a possible follow-up;
+        make_geometry_fn returns None for this backbone)."""
+        del geometry
         B, M = data["mask"].shape
         n_stages = len(self.enc_depths)
         offs3 = sp.kernel_offsets(3)

@@ -136,22 +136,20 @@ class BasicBlock(nn.Module):
 
 
 class DownConv(nn.Module):
-    """SparseConv3d(k2, s2) + BN + ReLU (reference :208-218)."""
+    """SparseConv3d(k2, s2) + BN + ReLU (reference :208-218), applied
+    over a precomputed :class:`~unipre3d_tpu.ops.sparse.DownStructure`
+    (batched [B, ...])."""
     out_channels: int
-    capacity_out: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, sv_batch, train: bool = False):
+    def __call__(self, feats, ds, train: bool = False):
         w = self.param("kernel", _subm_weight_init,
-                       (8, sv_batch.feats.shape[-1], self.out_channels))
-        down = jax.vmap(
-            lambda sv, wk: sp.downsample(sv, wk, self.capacity_out),
-            in_axes=(0, None))(sv_batch, w.astype(self.dtype))
-        f = MaskedBatchNorm(dtype=self.dtype, name="bn")(
-            down.sv.feats, down.sv.mask, train)
-        f = nn.relu(f)
-        return down._replace(sv=down.sv._replace(feats=f))
+                       (8, feats.shape[-1], self.out_channels))
+        f = jax.vmap(sp.downsample_apply, in_axes=(0, 0, None))(
+            ds, feats, w.astype(self.dtype))
+        f = MaskedBatchNorm(dtype=self.dtype, name="bn")(f, ds.mask, train)
+        return nn.relu(f)
 
 
 class UpConv(nn.Module):
@@ -160,11 +158,13 @@ class UpConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, down, coarse_feats, fine_mask, train: bool = False):
+    def __call__(self, parent_idx, child_offset, coarse_feats, fine_mask,
+                 train: bool = False):
         w = self.param("kernel", _subm_weight_init,
                        (8, coarse_feats.shape[-1], self.out_channels))
-        f = jax.vmap(sp.inverse_conv, in_axes=(0, 0, 0, None))(
-            down, coarse_feats, fine_mask, w.astype(self.dtype))
+        f = jax.vmap(sp.inverse_conv, in_axes=(0, 0, 0, 0, None))(
+            parent_idx, child_offset, coarse_feats, fine_mask,
+            w.astype(self.dtype))
         f = MaskedBatchNorm(dtype=self.dtype, name="bn")(f, fine_mask, train)
         return nn.relu(f)
 
@@ -231,11 +231,18 @@ class SpUNet(nn.Module):
     @nn.compact
     def forward_point_fusion(self, data, image_features=None,
                              unprojected=None, fusion_mlp=None,
-                             train: bool = False):
+                             train: bool = False, geometry=None):
         """data: dict with ``coord`` [B, M, 3] world, ``grid_coord``
         [B, M, 3], ``feat`` [B, M, in_channels], ``mask`` [B, M],
         ``min_coord`` [B, 3]. image_features [B*V, C, H, W] (C ==
         base_channels), unprojected [B, V, H, W, 4].
+
+        ``geometry`` (optional :class:`~unipre3d_tpu.models.
+        scene_geometry.SpUNetGeometry`): every index structure of the
+        forward, precomputed outside the step (production input
+        pipeline) — when None it is built inline, which is exactly the
+        same computation. Both paths are bit-identical by construction:
+        the feature pass below only consumes the geometry.
 
         Returns (features [B, M', num_classes], world coords [B, M', 3],
         mask [B, M']) where M' = M + pixel_capacity when fusion is on.
@@ -243,90 +250,81 @@ class SpUNet(nn.Module):
         B, M = data["mask"].shape
         n_stages = len(self.layers) // 2
 
-        sv_b, order = jax.vmap(sp.canonicalize)(
-            data["grid_coord"],
-            data["feat"].astype(self.dtype),
-            data["mask"])
-        world = jnp.take_along_axis(data["coord"], order[..., None], axis=1)
+        if geometry is None:
+            from unipre3d_tpu.models.scene_geometry import \
+                build_spunet_geometry
+            geometry = build_spunet_geometry(
+                data, unprojected,
+                grid_size=self.grid_size,
+                pixel_capacity=self.pixel_capacity,
+                level_divs=self.level_capacity_div, n_stages=n_stages,
+                use_fusion=fusion_mlp is not None)
+        g = geometry
 
-        offs3 = sp.kernel_offsets(3)
-        offs5 = sp.kernel_offsets(5)
+        feats = jnp.take_along_axis(data["feat"].astype(self.dtype),
+                                    g.order0[..., None], axis=1)
 
         # stem: SubMConv k5 (6 -> base) + BN + ReLU
-        nbr5 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(sv_b, offs5)
         x = SubMConv(self.base_channels, 5, dtype=self.dtype,
-                     name="conv_input")(sv_b.feats, nbr5)
+                     name="conv_input")(feats, g.nbr5)
         x = MaskedBatchNorm(dtype=self.dtype, name="bn_input")(
-            x, sv_b.mask, train)
+            x, g.mask0, train)
         x = nn.relu(x)
-        sv_b = sv_b._replace(feats=x)
 
-        fine_nbr3 = None
         if fusion_mlp is not None:
+            # PointFusion: append the conditioning pixels' 2D features
+            # as extra Gaussian-bearing voxels (reference
+            # fusion/point_fusion.py:159-171); the merge permutation and
+            # per-voxel representative pixel come from the geometry.
             V = unprojected.shape[1]
-            img = image_features.reshape(B, V, *image_features.shape[1:])
-            merged, world = jax.vmap(
-                point_fusion_merge,
-                in_axes=(0, 0, 0, 0, 0, None, None))(
-                sv_b, world, img.astype(self.dtype), unprojected,
-                data["min_coord"], self.grid_size, self.pixel_capacity)
-            sv_b = merged
-            fine_nbr3 = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
-                sv_b, offs3)
-            fused = fusion_mlp(sv_b.feats, fine_nbr3, sv_b.mask, train)
-            sv_b = sv_b._replace(feats=fused)
+            C = image_features.shape[1]
+            pf = image_features.astype(self.dtype).reshape(
+                B, V, C, *image_features.shape[2:])
+            pf = pf.transpose(0, 1, 3, 4, 2).reshape(B, -1, C)
+            safe = jnp.clip(g.pix_rep, 0, pf.shape[1] - 1)
+            pix = jnp.take_along_axis(pf, safe[..., None], axis=1)
+            pix = jnp.where((g.pix_rep >= 0)[..., None], pix, 0.0)
+            x = jnp.take_along_axis(jnp.concatenate([x, pix], axis=1),
+                                    g.merge_order[..., None], axis=1)
+            x = fusion_mlp(x, g.nbr3_fine, g.fine_mask, train)
 
-        fine_mask0 = sv_b.mask
-        world0 = world
+        fine_mask0 = g.fine_mask
+        world0 = g.world
 
-        # encoder. Neighbor tables are pure functions of each level's
-        # coords (features don't move voxels), so the tables built here
-        # are reused by the decoder blocks at the same level instead of
-        # re-running the merge-sort lookup (round-4 VERDICT weak #2).
-        skips = [sv_b]
-        nbrs = [fine_nbr3]
-        downs = []
-        cur = sv_b
+        # encoder. Neighbor tables / parent maps at every level come
+        # from the geometry and are shared between encoder and decoder.
+        skips = [x]
+        f = x
         for s in range(n_stages):
-            cap = max(M // self.level_capacity_div[s], 64)
-            d = DownConv(self.channels[s], cap, dtype=self.dtype,
-                         name=f"down{s}")(cur, train)
-            downs.append(d)
-            cur = d.sv
-            nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(cur, offs3)
-            nbrs.append(nbr)
-            f = cur.feats
+            f = DownConv(self.channels[s], dtype=self.dtype,
+                         name=f"down{s}")(f, g.downs[s], train)
             for i in range(self.layers[s]):
                 f = BasicBlock(self.channels[s], dtype=self.dtype,
-                               name=f"enc{s}_block{i}")(f, nbr, cur.mask,
-                                                        train)
-            cur = cur._replace(feats=f)
-            skips.append(cur)
+                               name=f"enc{s}_block{i}")(
+                    f, g.nbrs[s], g.downs[s].mask, train)
+            skips.append(f)
 
         # decoder channel plumbing (reference :230-276): dec_channels
         # starts at channels[-1], then follows channels[len - s - 2]
-        x_sv = skips.pop(-1)
-        nbrs.pop(-1)
+        f = skips.pop(-1)
+        masks = [g.fine_mask] + [d.mask for d in g.downs]
+        level_nbrs = [g.nbr3_fine] + list(g.nbrs)
         ref_dec = []
         dc = self.channels[-1]
         for s in range(n_stages):
             ref_dec.append(dc)
             dc = self.channels[len(self.channels) - s - 2]
-        f = x_sv.feats
         for s in reversed(range(n_stages)):
             skip = skips.pop(-1)
-            nbr = nbrs.pop(-1)
-            if nbr is None:   # fine level with fusion off
-                nbr = jax.vmap(sp.find_neighbors, in_axes=(0, None))(
-                    skip, offs3)
             f = UpConv(ref_dec[s], dtype=self.dtype, name=f"up{s}")(
-                downs[s], f, skip.mask, train)
-            f = jnp.concatenate([f, skip.feats], axis=-1)
+                g.downs[s].parent_idx, g.downs[s].child_offset, f,
+                masks[s], train)
+            f = jnp.concatenate([f, skip], axis=-1)
             n_blocks = self.layers[len(self.channels) - s - 1]
             for i in range(n_blocks):
                 f = BasicBlock(ref_dec[s], dtype=self.dtype,
-                               name=f"dec{s}_block{i}")(f, nbr, skip.mask,
-                                                        train)
+                               name=f"dec{s}_block{i}")(
+                    f, level_nbrs[s], masks[s], train)
 
         # final 1x1 SubMConv -> num_classes (identity neighbor = self)
         f = nn.Dense(self.num_classes, use_bias=True, dtype=self.dtype,

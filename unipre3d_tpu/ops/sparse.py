@@ -383,27 +383,45 @@ class Downsampled(NamedTuple):
     child_offset: jnp.ndarray   # [M_fine] kernel slot in [0, 8)
 
 
-def downsample(sv: SparseVoxels, weight: jnp.ndarray,
-               capacity_out: int) -> Downsampled:
-    """SparseConv3d(kernel=2, stride=2) (reference
-    spconv_unet_v1m1_base.py:208-218): output voxel set = distinct
-    parents (coords >> 1); y[parent] = sum_children W[slot(child)] x[child]
-    where slot = child coords & 1 packed as x*4+y*2+z.
+class DownStructure(NamedTuple):
+    """Geometry of one stride-2 downsample level — a pure function of the
+    fine coords/mask, independent of features and parameters, so it can
+    be precomputed once per batch outside the jitted train step (see
+    models/scene_geometry.py).
 
-    weight: [8, Cin, Cout]. Parents beyond capacity_out are dropped
-    (sorted order keeps the drop deterministic).
+    order:        [M_fine] fine rows sorted by parent code
+    seg:          [M_fine] output slot per SORTED child (capacity = drop)
+    slot_sorted:  [M_fine] kernel slot in [0, 8) per SORTED child
+    valid_sorted: [M_fine] validity per SORTED child
+    coords/mask:  the coarse voxel set (canonical)
+    parent_idx:   [M_fine] coarse row per fine voxel, ORIGINAL order (-1)
+    child_offset: [M_fine] kernel slot per fine voxel, ORIGINAL order
+    """
+    order: jnp.ndarray
+    seg: jnp.ndarray
+    slot_sorted: jnp.ndarray
+    valid_sorted: jnp.ndarray
+    coords: jnp.ndarray
+    mask: jnp.ndarray
+    parent_idx: jnp.ndarray
+    child_offset: jnp.ndarray
+
+
+def downsample_structure(coords: jnp.ndarray, mask: jnp.ndarray,
+                         capacity_out: int) -> DownStructure:
+    """Geometry half of :func:`downsample`: distinct parents
+    (coords >> 1), child->parent maps and kernel slots.
 
     Note: the packed code is lexicographic, so parent codes are NOT
     monotone under the child-code sort — the children are re-sorted by
     parent code before the adjacency dedup."""
-    M = sv.coords.shape[0]
-    parent = sv.coords >> 1
-    pcode = pack_code(parent, sv.mask)
+    M = coords.shape[0]
+    parent = coords >> 1
+    pcode = pack_code(parent, mask)
     order = jnp.argsort(pcode).astype(jnp.int32)     # children by parent
     pcode_s = jnp.take(pcode, order)
     parent_s = jnp.take(parent, order, axis=0)
-    feats_s = jnp.take(sv.feats, order, axis=0)
-    coords_s = jnp.take(sv.coords, order, axis=0)
+    coords_s = jnp.take(coords, order, axis=0)
     mask_s = pcode_s != INVALID_CODE
 
     first = jnp.concatenate(
@@ -418,49 +436,78 @@ def downsample(sv: SparseVoxels, weight: jnp.ndarray,
         seg_rep].set(parent_s)[:capacity_out]
 
     child = coords_s & 1
-    slot = child[:, 0] * 4 + child[:, 1] * 2 + child[:, 2]  # [M] in [0,8)
-    Cout = weight.shape[-1]
-    contrib = jnp.zeros((M, Cout), dtype=sv.feats.dtype)
-    for k in range(8):
-        sel = (slot == k) & mask_s
-        xk = jnp.where(sel[:, None], feats_s, 0.0)
-        contrib = contrib + jnp.dot(
-            xk, weight[k], preferred_element_type=jnp.float32
-        ).astype(sv.feats.dtype)
-    out_feats = jnp.zeros((capacity_out + 1, Cout),
-                          dtype=sv.feats.dtype).at[seg].add(
-        contrib)[:capacity_out]
+    slot = (child[:, 0] * 4 + child[:, 1] * 2 + child[:, 2]).astype(
+        jnp.int32)                                   # [M] in [0,8)
 
     # map back to the original fine-row order
     parent_idx = jnp.zeros((M,), jnp.int32).at[order].set(
         jnp.where(seg < capacity_out, seg, -1))
-    parent_idx = jnp.where(sv.mask, parent_idx, -1)
-    child_orig = sv.coords & 1
+    parent_idx = jnp.where(mask, parent_idx, -1)
+    child_orig = coords & 1
     slot_orig = (child_orig[:, 0] * 4 + child_orig[:, 1] * 2
                  + child_orig[:, 2]).astype(jnp.int32)
-    out = SparseVoxels(coords=jnp.where(out_mask[:, None], out_coords, 0),
-                       feats=jnp.where(out_mask[:, None], out_feats, 0.0),
-                       mask=out_mask)
-    return Downsampled(sv=out, parent_idx=parent_idx,
-                       child_offset=slot_orig)
+    return DownStructure(
+        order=order, seg=seg, slot_sorted=slot, valid_sorted=mask_s,
+        coords=jnp.where(out_mask[:, None], out_coords, 0),
+        mask=out_mask, parent_idx=parent_idx, child_offset=slot_orig)
 
 
-def inverse_conv(down: Downsampled, coarse_feats: jnp.ndarray,
-                 fine_mask: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+def downsample_apply(ds: DownStructure, feats: jnp.ndarray,
+                     weight: jnp.ndarray) -> jnp.ndarray:
+    """Feature half of :func:`downsample`:
+    y[parent] = sum_children W[slot(child)] x[child]. weight [8, Cin,
+    Cout] -> coarse feats [capacity_out, Cout] (0 on invalid rows)."""
+    capacity_out = ds.mask.shape[0]
+    feats_s = jnp.take(feats, ds.order, axis=0)
+    Cout = weight.shape[-1]
+    contrib = jnp.zeros((feats.shape[0], Cout), dtype=feats.dtype)
+    for k in range(8):
+        sel = (ds.slot_sorted == k) & ds.valid_sorted
+        xk = jnp.where(sel[:, None], feats_s, 0.0)
+        contrib = contrib + jnp.dot(
+            xk, weight[k], preferred_element_type=jnp.float32
+        ).astype(feats.dtype)
+    out_feats = jnp.zeros((capacity_out + 1, Cout),
+                          dtype=feats.dtype).at[ds.seg].add(
+        contrib)[:capacity_out]
+    return jnp.where(ds.mask[:, None], out_feats, 0.0)
+
+
+def downsample(sv: SparseVoxels, weight: jnp.ndarray,
+               capacity_out: int) -> Downsampled:
+    """SparseConv3d(kernel=2, stride=2) (reference
+    spconv_unet_v1m1_base.py:208-218): output voxel set = distinct
+    parents (coords >> 1); y[parent] = sum_children W[slot(child)] x[child]
+    where slot = child coords & 1 packed as x*4+y*2+z.
+
+    weight: [8, Cin, Cout]. Parents beyond capacity_out are dropped
+    (sorted order keeps the drop deterministic). Composition of
+    :func:`downsample_structure` + :func:`downsample_apply`."""
+    ds = downsample_structure(sv.coords, sv.mask, capacity_out)
+    out_feats = downsample_apply(ds, sv.feats, weight)
+    out = SparseVoxels(coords=ds.coords, feats=out_feats, mask=ds.mask)
+    return Downsampled(sv=out, parent_idx=ds.parent_idx,
+                       child_offset=ds.child_offset)
+
+
+def inverse_conv(parent_idx: jnp.ndarray, child_offset: jnp.ndarray,
+                 coarse_feats: jnp.ndarray, fine_mask: jnp.ndarray,
+                 weight: jnp.ndarray) -> jnp.ndarray:
     """SparseInverseConv3d(kernel=2) back to the fine voxel set
     (reference :245-256): y[child] = W[slot(child)] x[parent].
 
-    coarse_feats [M_coarse, Cin], weight [8, Cin, Cout] -> [M_fine, Cout].
-    """
+    parent_idx/child_offset from :class:`DownStructure` (original fine
+    order), coarse_feats [M_coarse, Cin], weight [8, Cin, Cout] ->
+    [M_fine, Cout]."""
     Mc = coarse_feats.shape[0]
-    safe = jnp.clip(down.parent_idx, 0, Mc - 1)
+    safe = jnp.clip(parent_idx, 0, Mc - 1)
     gathered = jnp.take(coarse_feats, safe, axis=0)  # [M_fine, Cin]
-    valid = (down.parent_idx >= 0) & fine_mask
+    valid = (parent_idx >= 0) & fine_mask
     gathered = jnp.where(valid[:, None], gathered, 0.0)
     Cout = weight.shape[-1]
     out = jnp.zeros((gathered.shape[0], Cout), dtype=coarse_feats.dtype)
     for k in range(8):
-        sel = (down.child_offset == k) & valid
+        sel = (child_offset == k) & valid
         xk = jnp.where(sel[:, None], gathered, 0.0)
         out = out + jnp.dot(xk, weight[k],
                             preferred_element_type=jnp.float32

@@ -25,7 +25,7 @@ The model is abstracted as ``predict_fn(fragment_dict) -> logits
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -175,4 +175,188 @@ class SemSegTester:
             else 0.0,
             "allAcc": float(correct / max(total, 1)),
             "iou_class": iou_class,
+        }
+
+
+def _softmax(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _intersection_union_cls(pred, label, K, ignore_index):
+    """Per-class intersection / union / target counts of 1-D label
+    arrays (reference pointcept/utils/misc.py intersection_and_union)."""
+    ok = label != ignore_index
+    p, l = pred[ok], label[ok]
+    inter = np.zeros(K)
+    union = np.zeros(K)
+    target = np.zeros(K)
+    for c in range(K):
+        pc, lc = p == c, l == c
+        inter[c] = int((pc & lc).sum())
+        union[c] = int((pc | lc).sum())
+        target[c] = int(lc.sum())
+    return inter, union, target
+
+
+class ClsTester:
+    """Single-pass shape-classification tester (reference
+    pointcept/engines/test.py:354-430 ``ClsTester``): argmax over each
+    example's class logits, per-class intersection/union/target
+    accumulated over the loader, mIoU/mAcc/allAcc like the reference.
+
+    predict_fn: ``(example_dict) -> [K] or [B, K]`` class logits.
+    Examples are dicts carrying at least ``category`` (int label or
+    [B] labels)."""
+
+    def __init__(self, num_classes: int, predict_fn: Callable,
+                 ignore_index: int = -1):
+        self.num_classes = num_classes
+        self.predict_fn = predict_fn
+        self.ignore_index = ignore_index
+
+    def test(self, examples) -> Dict[str, float]:
+        K = self.num_classes
+        inter = np.zeros(K)
+        union = np.zeros(K)
+        target = np.zeros(K)
+        for ex in examples:
+            logits = np.asarray(self.predict_fn(ex))
+            if logits.ndim == 1:
+                logits = logits[None]
+            pred = logits.argmax(-1).reshape(-1)
+            label = np.asarray(ex["category"]).reshape(-1)
+            i, u, t = _intersection_union_cls(pred, label, K,
+                                              self.ignore_index)
+            inter += i
+            union += u
+            target += t
+        iou_class = inter / (union + 1e-10)
+        acc_class = inter / (target + 1e-10)
+        return {
+            "mIoU": float(iou_class.mean()),
+            "mAcc": float(acc_class.mean()),
+            "allAcc": float(inter.sum() / (target.sum() + 1e-10)),
+            "iou_class": iou_class,
+        }
+
+
+class ClsVotingTester:
+    """TTA-voting classification tester (reference test.py:432-546
+    ``ClsVotingTester``): every example is augmented ``num_repeat``
+    times through the (random) ``aug_transforms`` pipelines; each
+    repeat's prediction is the softmax-sum over the augmented copies,
+    and the best repeat by ``metric`` is kept (the reference's
+    per-evaluation best-record loop).
+
+    predict_fn: ``(example_dict) -> [K]`` logits for ONE augmented copy.
+    aug_transforms: list of pipelines (data/transforms.py config syntax
+    or callables); each pipeline produces one vote per repeat.
+    Identity-only by default (voting then equals ClsTester)."""
+
+    def __init__(self, num_classes: int, predict_fn: Callable,
+                 num_repeat: int = 10, metric: str = "allAcc",
+                 aug_transforms: Optional[Sequence] = None,
+                 ignore_index: int = -1):
+        self.num_classes = num_classes
+        self.predict_fn = predict_fn
+        self.num_repeat = num_repeat
+        self.metric = metric
+        self.ignore_index = ignore_index
+        if aug_transforms is None:
+            self.augs = [lambda d: d]
+        else:
+            self.augs = [a if callable(a) else _build_pipeline(a)
+                         for a in aug_transforms]
+
+    def test_once(self, examples) -> Dict[str, float]:
+        K = self.num_classes
+        inter = np.zeros(K)
+        target = np.zeros(K)
+        for ex in examples:
+            probs = np.zeros((K,), np.float64)
+            for aug in self.augs:
+                copy = aug({k: (np.copy(v) if isinstance(v, np.ndarray)
+                                else v) for k, v in ex.items()})
+                probs += _softmax(np.asarray(
+                    self.predict_fn(copy)).reshape(-1))
+            pred = np.asarray([probs.argmax()])
+            label = np.asarray(ex["category"]).reshape(-1)
+            i, _, t = _intersection_union_cls(pred, label, K,
+                                              self.ignore_index)
+            inter += i
+            target += t
+        acc_class = inter / (target + 1e-10)
+        return {
+            "mAcc": float(acc_class.mean()),
+            "allAcc": float(inter.sum() / (target.sum() + 1e-10)),
+        }
+
+    def test(self, examples) -> Dict[str, float]:
+        best = None
+        for i in range(self.num_repeat):
+            rec = self.test_once(examples)
+            if best is None or rec[self.metric] > best[self.metric]:
+                best = dict(rec, best_repeat=i)
+        return best
+
+
+class PartSegTester:
+    """Part-segmentation tester (reference test.py:548-640
+    ``PartSegTester``): per shape, per-point part probabilities are
+    softmax-summed over the TTA copies, argmaxed, and scored as the
+    mean IoU over the parts of the shape's CATEGORY (absent parts
+    count 1.0); aggregates to instance-average ``ins_mIoU`` and
+    category-average ``cat_mIoU``.
+
+    predict_fn: ``(example_dict) -> [n, K]`` per-point part logits.
+    categories: ordered category names; category2part: name -> list of
+    part labels in the global K-part space (ShapeNetPart layout).
+    Examples carry ``cls_token`` (category index) and ``segment``."""
+
+    def __init__(self, num_classes: int, predict_fn: Callable,
+                 categories: Sequence[str],
+                 category2part: Dict[str, Sequence[int]],
+                 aug_transforms: Optional[Sequence] = None):
+        self.num_classes = num_classes
+        self.predict_fn = predict_fn
+        self.categories = list(categories)
+        self.category2part = category2part
+        if aug_transforms is None:
+            self.augs = [lambda d: d]
+        else:
+            self.augs = [a if callable(a) else _build_pipeline(a)
+                         for a in aug_transforms]
+
+    def test(self, examples) -> Dict[str, Any]:
+        n_cat = len(self.categories)
+        iou_category = np.zeros(n_cat)
+        iou_count = np.zeros(n_cat)
+        for ex in examples:
+            label = np.asarray(ex["segment"]).reshape(-1)
+            probs = np.zeros((label.size, self.num_classes), np.float64)
+            for aug in self.augs:
+                copy = aug({k: (np.copy(v) if isinstance(v, np.ndarray)
+                                else v) for k, v in ex.items()})
+                probs += _softmax(np.asarray(self.predict_fn(copy)))
+            pred = probs.argmax(-1)
+            ci = int(ex["cls_token"])
+            parts = self.category2part[self.categories[ci]]
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                if (label == part).sum() == 0 and (pred == part).sum() == 0:
+                    parts_iou[j] = 1.0
+                else:
+                    i = ((label == part) & (pred == part)).sum()
+                    u = ((label == part) | (pred == part)).sum()
+                    parts_iou[j] = i / (u + 1e-10)
+            iou_category[ci] += parts_iou.mean()
+            iou_count[ci] += 1
+        return {
+            "ins_mIoU": float(iou_category.sum()
+                              / (iou_count.sum() + 1e-10)),
+            "cat_mIoU": float((iou_category
+                               / (iou_count + 1e-10)).mean()),
+            "iou_category": iou_category / (iou_count + 1e-10),
         }

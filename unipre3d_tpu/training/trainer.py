@@ -270,6 +270,39 @@ def model_inputs(batch, n_in: int, level: str):
             jnp.asarray(batch["view_to_world_transforms"][:, :n_in]))
 
 
+def make_geometry_fn(cfg, model=None):
+    """Batch -> precomputed scene geometry (models/scene_geometry.py),
+    or None when the config has no precomputable geometry (object
+    level / non-sparseunet backbones).
+
+    The returned function is jittable and a pure function of the batch;
+    in production it runs in the input pipeline overlapped with the
+    device step, taking the ~200 ms of argsorts/rank lookups off the
+    step's critical path (round-4 attribution, docs/PERF_NOTES.md)."""
+    if cfg.opt.level != "scene" or cfg.model.backbone_type != "sparseunet":
+        return None
+    from unipre3d_tpu.models.scene_geometry import build_spunet_geometry
+    from unipre3d_tpu.models.sparseunet import SpUNet
+    if model is not None and getattr(model, "backbone_overrides", None):
+        overrides = {k: v for k, v in model.backbone_overrides}
+    else:
+        overrides = dict(cfg.model.get("backbone_overrides") or {})
+    enc = SpUNet(in_channels=6, num_classes=64, **overrides)
+    n_stages = len(enc.layers) // 2
+    use_fusion = bool(cfg.opt.use_fusion)
+
+    def geom_fn(batch):
+        return build_spunet_geometry(
+            jax.tree_util.tree_map(jnp.asarray, batch["point_cloud"]),
+            jnp.asarray(batch["unprojected_coords"]) if use_fusion
+            else None,
+            grid_size=enc.grid_size, pixel_capacity=enc.pixel_capacity,
+            level_divs=tuple(enc.level_capacity_div), n_stages=n_stages,
+            use_fusion=use_fusion)
+
+    return geom_fn
+
+
 def create_train_state(cfg, rng, sample_batch, dtype=jnp.float32):
     """Initialize model params/batch_stats/optimizer/EMA."""
     model = build_predictor(cfg, dtype=dtype)
@@ -318,6 +351,7 @@ def make_train_step(cfg, model, tx):
             *model_inputs(batch, n_in, level),
             train=True,
             vae_features=batch.get("vae_features"),
+            geometry=batch.get("geometry"),
             rngs={"droppath": rng},
             mutable=["batch_stats"] if batch_stats else [])
         if batch_stats:
