@@ -121,7 +121,7 @@ def time_slope(run_n, iters_lo, iters_hi, repeats=2):
     return max((hi - lo) / (iters_hi - iters_lo), 1e-9)
 
 
-def bench_train_step(small: bool):
+def bench_train_step(small: bool, mark=lambda m: None):
     from __graft_entry__ import _synthetic_batch, _tiny_cfg
     from unipre3d_tpu.parallel import make_mesh, replicate, shard_batch
     from unipre3d_tpu.training.trainer import (create_train_state,
@@ -145,6 +145,7 @@ def bench_train_step(small: bool):
         dtype=jnp.bfloat16 if not small else jnp.float32)
     state = replicate(state, mesh)
     sharded = shard_batch(batch, mesh)
+    mark("object: state ready")
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
     def make_run_n(compiled, b):
@@ -164,9 +165,12 @@ def bench_train_step(small: bool):
     # AOT-compile each path ONCE; the same executable serves the timing
     # loop and the FLOPs cost analysis
     live_exec = step.lower(state, sharded).compile()
+    mark("object: live step compiled")
     state, m = live_exec(state, sharded)
     float(m["loss"])                  # force materialization
+    mark("object: live step warm (first call done)")
     live_sec = time_slope(make_run_n(live_exec, sharded), lo, hi)
+    mark("object: live step timed")
 
     # default training path: frozen-VAE conditioning features served from
     # the device cache (training/feature_cache.py) — steady state is all
@@ -181,7 +185,9 @@ def bench_train_step(small: bool):
                            img_h=res, img_w=res)
     cached_batch = dict(sharded)
     cached_batch["vae_features"] = cache.attach(batch, state.params, n_in)
+    mark("object: vae cache attached")
     cached_exec = step.lower(state, cached_batch).compile()
+    mark("object: cached step compiled")
     state, m = cached_exec(state, cached_batch)
     float(m["loss"])
     cached_sec = time_slope(make_run_n(cached_exec, cached_batch), lo, hi)
@@ -192,7 +198,8 @@ def bench_train_step(small: bool):
             batch_size / live_sec / n_chips, anchor)
 
 
-def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
+def bench_scene(small: bool, config_name: str = "sparseunet_pretraining",
+                mark=lambda m: None):
     """Scene-level pretraining step throughput (SparseUNet/PTv3 +
     PointFusion, ScanNet schema) — samples/sec/chip at per-device batch 1
     like the reference's 4-GPU setup
@@ -269,7 +276,9 @@ def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
 
         geom_sec = time_slope(geom_run_n, lo, hi)
         cached["geometry"] = g
+    mark(f"{config_name}: geometry+cache ready")
     cached_exec = step.lower(state, cached).compile()
+    mark(f"{config_name}: cached step compiled")
     state, m = cached_exec(state, cached)
     float(m["loss"])
     cached_sec = time_slope(make_run_n(cached_exec, cached), lo, hi)
@@ -284,6 +293,7 @@ def bench_scene(small: bool, config_name: str = "sparseunet_pretraining"):
         if geom_fn is not None:
             live_b["geometry"] = cached["geometry"]
         live_exec = step.lower(state, live_b).compile()
+        mark(f"{config_name}: live step compiled")
         state, m = live_exec(state, live_b)
         float(m["loss"])
         live_sec = time_slope(make_run_n(live_exec, live_b), lo, hi)
@@ -407,7 +417,7 @@ def main():
     emit()  # a parseable line exists from second one
 
     try:
-        sps, sps_live_vae, obj_anchor = bench_train_step(small)
+        sps, sps_live_vae, obj_anchor = bench_train_step(small, mark=_mark)
         # vs_baseline = our samples/s/chip over the analytic A100
         # estimate for the reference's step FLOPs (see mfu_anchor;
         # BASELINE.json target is >=3.0 on this ratio). The reference
@@ -434,7 +444,7 @@ def main():
     emit()
 
     try:
-        scene_sps, scene_cfg, scene_anchor = bench_scene(small)
+        scene_sps, scene_cfg, scene_anchor = bench_scene(small, mark=_mark)
         extra["scene_samples_per_sec_per_chip"] = round(scene_sps, 3)
         extra["scene_config"] = scene_cfg
         extra["scene_anchor"] = scene_anchor

@@ -88,13 +88,33 @@ class Metricator:
                 for k in chunks[0]}
 
 
+def _global_mean(vals):
+    """Mean of per-example metric values across ALL processes.
+
+    On a multi-process launch each process evaluates its own (possibly
+    uneven, unpadded) example shard; the weighted
+    ``parallel.all_reduce_mean`` combines the per-host means exactly
+    (reference ``dist.all_reduce(psnr)/world_size``,
+    train_network.py:253-257, which assumes equal shards — the weighted
+    form doesn't)."""
+    m = float(np.mean(vals)) if vals else 0.0
+    if jax.process_count() == 1:
+        return m if vals else None
+    from unipre3d_tpu.parallel import all_reduce_mean
+    gm = all_reduce_mean(m, weight=float(len(vals)))
+    any_vals = all_reduce_mean(1.0 if vals else 0.0)
+    return gm if any_vals > 0 else None
+
+
 def evaluate_dataset(model, eval_step, state, loader, cfg, out_folder,
                      save_vis: int = 0, lpips_params=None):
     n_in = int(cfg.data.input_images)
     metricator = Metricator(lpips_params)
     agg = {k: [] for k in ("PSNR_cond", "SSIM_cond", "LPIPS_cond",
                            "PSNR_novel", "SSIM_novel", "LPIPS_novel")}
-    scores_path = os.path.join(out_folder, "scores.txt")
+    pid = jax.process_index()
+    scores_path = os.path.join(
+        out_folder, "scores.txt" if pid == 0 else f"scores_rank{pid}.txt")
     open(scores_path, "w").close()
 
     for d_idx, batch in enumerate(loader.epoch(0)):
@@ -143,10 +163,15 @@ def evaluate_dataset(model, eval_step, state, loader, cfg, out_folder,
             f.write(f"{d_idx}_example {mean(per['pn'])} {mean(per['sn'])} "
                     f"{mean(per['ln'])}\n")
 
-    return {k: (float(np.mean(v)) if v else None) for k, v in agg.items()}
+    return {k: _global_mean(v) for k, v in agg.items()}
 
 
 def main():
+    # form the multi-process runtime (no-op single host) BEFORE any
+    # device query; each process then evaluates its own example shard
+    from unipre3d_tpu.parallel import maybe_initialize
+    maybe_initialize()
+
     p = argparse.ArgumentParser()
     p.add_argument("experiment_path")
     p.add_argument("--split", default="test")
@@ -159,7 +184,12 @@ def main():
         cfg = ConfigNode.from_obj(yaml.safe_load(f))
 
     ds = get_dataset(cfg, args.split)
-    loader = Loader(ds, batch_size=1, shuffle=False)
+    # unpadded shards: no example is scored twice; the aggregate uses
+    # the weighted all_reduce_mean (see _global_mean)
+    loader = Loader(ds, batch_size=1, shuffle=False,
+                    shard_id=jax.process_index(),
+                    num_shards=jax.process_count(),
+                    pad_shards=False, drop_last=False)
     sample = next(iter(loader.epoch(0)))
     rng = jax.random.PRNGKey(int(cfg.general.random_seed))
     model, tx, state = create_train_state(cfg, rng, sample)
@@ -179,10 +209,11 @@ def main():
                               args.experiment_path, args.save_vis,
                               lpips_params)
     print(json.dumps(scores, indent=2))
-    out = os.path.join(args.experiment_path, "test_scores.json")
-    with open(out, "w") as f:
-        json.dump(scores, f, indent=2)
-    print(f"[eval] wrote {out}")
+    if jax.process_index() == 0:
+        out = os.path.join(args.experiment_path, "test_scores.json")
+        with open(out, "w") as f:
+            json.dump(scores, f, indent=2)
+        print(f"[eval] wrote {out}")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,25 @@ assert abs(m - 5.0) < 1e-6, m
 m2 = all_reduce_mean(123.0 if pid == 0 else 0.0,
                      weight=1.0 if pid == 0 else 0.0)
 assert abs(m2 - 123.0) < 1e-6, m2
+
+# UNEVEN val shards (the production eval.py path): 5 examples over 2
+# processes with pad_shards=False -> shard lengths 3 and 2; the
+# weighted all_reduce_mean reproduces the exact global mean, which a
+# plain mean-of-host-means would get wrong.
+from unipre3d_tpu.data.loader import Loader
+
+class _DS:
+    def __len__(self):
+        return 5
+    def __getitem__(self, i):
+        return {"x": np.full((2,), float(i), np.float32)}
+
+ld = Loader(_DS(), 1, shuffle=False, shard_id=pid, num_shards=nproc,
+            pad_shards=False, drop_last=False, num_workers=1)
+vals = [float(b["x"][0, 0]) for b in ld.epoch(0)]
+assert len(vals) == (3 if pid == 0 else 2), vals
+m3 = all_reduce_mean(float(np.mean(vals)), weight=float(len(vals)))
+assert abs(m3 - 2.0) < 1e-6, m3          # mean(0..4) = 2.0
 print(f"worker {pid} OK", flush=True)
 """
 

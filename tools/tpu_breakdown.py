@@ -151,8 +151,11 @@ def main():
 
     def opt_only(g, opt_state, params):
         import optax
-        updates, new_os = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), new_os
+        from unipre3d_tpu.training.trainer import split_frozen
+        g_t, _ = split_frozen(g)
+        p_t, _ = split_frozen(params)
+        updates, new_os = tx.update(g_t, opt_state, p_t)
+        return optax.apply_updates(p_t, updates), new_os
 
     jo = jax.jit(opt_only)
     report("optimizer+apply",

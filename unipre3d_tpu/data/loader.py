@@ -20,9 +20,15 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, shard_id: int = 0, num_shards: int = 1,
                  drop_last: bool = True, prefetch: int = 2,
-                 num_workers: int = 4, collate_hook=None):
+                 num_workers: int = 4, collate_hook=None,
+                 pad_shards: bool = True):
         # collate_hook(examples) -> examples runs before stacking (e.g.
         # Mix3d, reference point_collate_fn pointcept/datasets/utils.py:61)
+        # pad_shards=True (training/SPMD val): every shard is resized to
+        # the same length so all hosts enter the same number of global
+        # steps. pad_shards=False (standalone eval): shards are the raw
+        # (possibly uneven) index slices — no example is evaluated twice;
+        # combine per-host means with parallel.all_reduce_mean(weight=n).
         self.collate_hook = collate_hook
         self.dataset = dataset
         self.batch_size = batch_size
@@ -30,6 +36,7 @@ class Loader:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.pad_shards = pad_shards
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
@@ -40,6 +47,8 @@ class Loader:
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + epoch).permutation(n)
+        if not self.pad_shards:
+            return idx[self.shard_id::self.num_shards]
         # pad so every shard sees the same number of batches
         per_shard = -(-n // self.num_shards)
         idx = np.resize(idx, per_shard * self.num_shards)

@@ -60,6 +60,13 @@ T_EPS = 1e-4
 LOG_T_EPS = math.log(T_EPS)
 HI = jax.lax.Precision.HIGHEST
 
+# measurement indirection hooks (tools/exp_splat_variants.py overrides
+# these to attribute kernel time between transcendentals and matmuls;
+# production never touches them)
+_EXP = jnp.exp
+_LOG = jnp.log
+_DOT2X_SINGLE = False   # True: one bf16 DEFAULT pass (hook, see above)
+
 # pixel-block x gaussian-chunk working set: P_BLK*CHUNK_N f32 elements
 # per intermediate. The backward keeps ~2x more intermediates live
 # (grad terms + suffix scans), so it gets half the forward's budget —
@@ -139,6 +146,8 @@ def _dot_2x(x, tri):
     d = lambda a: jax.lax.dot_general(
         a, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if _DOT2X_SINGLE:
+        return d(x)
     return d(hi) + d(lo)
 
 
@@ -151,7 +160,7 @@ def _chunk_alpha(g, basis):
     power = jax.lax.dot_general(
         basis, _power_coefs(g), (((1,), (0,)), ((), ())),
         precision=HI, preferred_element_type=jnp.float32)      # [P, C]
-    e = jnp.exp(power)
+    e = _EXP(power)
     a = jnp.minimum(ALPHA_MAX, g[5, :][None, :] * e)
     skip = (power > 1e-4) | (a < ALPHA_MIN)
     return jnp.where(skip, 0.0, a), e, power, skip
@@ -165,12 +174,12 @@ def _chunk_transmittance(alpha, log_t_in, tri):
     contributes iff the transmittance AFTER it stays >= T_EPS; T
     freezes at the stop (log-space min over the contributing prefix)."""
     om = 1.0 - alpha
-    lg = jnp.log(om)
+    lg = _LOG(om)
     pe = _dot_2x(lg, tri)                                      # [P, C]
     pe = pe + jnp.transpose(log_t_in)
     log_t_incl = pe + lg
     contrib = log_t_incl >= LOG_T_EPS
-    t_before = jnp.exp(pe)
+    t_before = _EXP(pe)
     w = jnp.where(contrib, alpha * t_before, 0.0)
     log_t_out = jnp.min(
         jnp.where(contrib, log_t_incl, jnp.transpose(log_t_in)),

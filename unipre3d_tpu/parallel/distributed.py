@@ -102,7 +102,16 @@ def all_reduce_mean(value: float, weight: float = 1.0) -> float:
     """Weighted mean of a host scalar across processes (reference
     ``dist.all_reduce(psnr); psnr /= world_size``,
     train_network.py:253-257). Weight 0 lets a host with an empty val
-    shard participate without skewing the mean."""
+    shard participate without skewing the mean.
+
+    Two val-reduction paths exist, by shard shape:
+
+    * the TRAINING val loop (train_network.py) pads every host's shard
+      to equal length and reduces inside the SPMD eval_step — the
+      replicated batch mean IS the cross-host mean, no host collective;
+    * standalone ``eval.py`` shards examples WITHOUT padding (no example
+      scored twice) and combines the per-host means here with
+      ``weight=len(local_examples)`` — exact for uneven shards."""
     if jax.process_count() == 1:
         return float(value)
     from jax.experimental import multihost_utils
