@@ -140,13 +140,16 @@ def main():
         # same seed + deterministic loader => the two runs differ only
         # by the cache's bf16 feature quantization, so the PSNR_novel
         # trajectories must track within tolerance at every val step.
-        n = min(args.iters, 400)
+        n = args.iters
+        vl = 200 if n > 400 else 100
         d_live = os.path.join(base, "object_live")
         d_cach = os.path.join(base, "object_cached")
         run_cli("transformer_pretraining", d_live, n,
-                extra=["tpu.vae_cache_entries=0", "logging.val_log=100"])
+                extra=["tpu.vae_cache_entries=0",
+                       f"logging.val_log={vl}"])
         run_cli("transformer_pretraining", d_cach, n,
-                extra=["tpu.vae_cache_entries=512", "logging.val_log=100"])
+                extra=["tpu.vae_cache_entries=512",
+                       f"logging.val_log={vl}"])
         cl = dict(read_curve(d_live))
         cc = dict(read_curve(d_cach))
         steps = sorted(set(cl) & set(cc))

@@ -42,13 +42,18 @@ def project_points_to_image(center: jnp.ndarray, c2w: jnp.ndarray,
 
 
 def feature_fusion_gather(center: jnp.ndarray, image_features: jnp.ndarray,
-                          c2w: jnp.ndarray, intrinsic: jnp.ndarray
-                          ) -> jnp.ndarray:
+                          c2w: jnp.ndarray, intrinsic: jnp.ndarray,
+                          image_proj=None) -> jnp.ndarray:
     """Occlusion-aware per-point image features.
 
     center [B, N, 3], image_features [B, C, H, W], c2w [B, 4, 4] (or
     [B, V, 4, 4] — first view used), intrinsic [3, 4] ->
     mapped features [B, N, C] (zero for occluded / out-of-view points).
+
+    ``image_proj`` (optional): per-pixel linear map applied to the N
+    GATHERED rows instead of all H*W pixels (the gather commutes with
+    any per-pixel map) — the trainable affine + 1x1 conv of the frozen
+    VAE's feature path (see models/gaussian_predictor.py:ImageConv).
     """
     if c2w.ndim == 4:
         c2w = c2w[:, 0]
@@ -77,12 +82,15 @@ def feature_fusion_gather(center: jnp.ndarray, image_features: jnp.ndarray,
     gathered = jnp.take_along_axis(
         feats, (jnp.clip(x, 0, H - 1) * W + jnp.clip(y, 0, W - 1))[..., None],
         axis=1)  # [B, N, C]
+    if image_proj is not None:
+        gathered = image_proj(gathered)
     return jnp.where(winner[..., None], gathered, 0.0)
 
 
 def feature_fusion(x: jnp.ndarray, center: jnp.ndarray,
                    image_features: jnp.ndarray, c2w: jnp.ndarray,
-                   intrinsic: jnp.ndarray, fusion_mlp) -> jnp.ndarray:
+                   intrinsic: jnp.ndarray, fusion_mlp,
+                   image_proj=None) -> jnp.ndarray:
     """Full object-level fusion (reference feat_fusion.py:58-145).
 
     x: point tokens [B, N(+1 with CLS), C_pt]; center [B, N, 3]. A leading
@@ -90,10 +98,11 @@ def feature_fusion(x: jnp.ndarray, center: jnp.ndarray,
     Returns fusion_mlp([x ‖ mapped]) with shape [B, N(+1), out].
     """
     B, N = center.shape[:2]
-    C = image_features.shape[1]
-    mapped = feature_fusion_gather(center, image_features, c2w, intrinsic)
+    mapped = feature_fusion_gather(center, image_features, c2w, intrinsic,
+                                   image_proj)
     if x.shape[1] > N:  # CLS token at position 0
-        zeros = jnp.zeros((B, x.shape[1] - N, C), dtype=mapped.dtype)
+        zeros = jnp.zeros((B, x.shape[1] - N, mapped.shape[-1]),
+                          dtype=mapped.dtype)
         mapped = jnp.concatenate([zeros, mapped], axis=1)
     fused = jnp.concatenate([x, mapped.astype(x.dtype)], axis=-1)
     return fusion_mlp(fused)

@@ -42,6 +42,75 @@ MODEL_CONFIGS = {
 VAE_FIRST_BLOCK_CHANNELS = 128  # block_out_channels[0] of the SD-VAE
 
 
+def group_normalize(x: jnp.ndarray, num_groups: int,
+                    epsilon: float) -> jnp.ndarray:
+    """Parameter-free half of GroupNorm over NHWC input (flax semantics:
+    stats over spatial dims + channels within each group), f32 math."""
+    B, H, W, C = x.shape
+    g = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean((g - mean) ** 2, axis=(1, 2, 4), keepdims=True)
+    return ((g - mean) * jax.lax.rsqrt(var + epsilon)).reshape(B, H, W, C)
+
+
+class GroupNormAffine(nn.Module):
+    """GroupNorm split into a parameter-free normalize +
+    a trainable per-channel affine. Param tree identical to
+    ``nn.GroupNorm`` ({scale, bias}), so checkpoints/export are
+    unaffected; ``affine`` alone is valid on rows whose statistics were
+    already normalized over the FULL feature map (the frozen-VAE maps —
+    see ``GaussianSplatPredictor._forward_object``)."""
+    ch: int
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+
+    def affine(self, xn):
+        y = xn.astype(jnp.float32) * self.scale + self.bias
+        return y.astype(self.dtype)
+
+    def __call__(self, x):
+        return self.affine(group_normalize(x, self.num_groups,
+                                           self.epsilon))
+
+
+class ImageConv(nn.Module):
+    """GroupNorm + 1x1 Conv over the frozen-VAE feature map (reference
+    model/image_predictor.py:41-54). Param tree matches the former
+    ``nn.Sequential([nn.GroupNorm, nn.Conv])`` (layers_0 / layers_1).
+
+    ``proj_rows`` is the object-path fast route: the object fusion
+    consumes the conv output at only N projected pixels per view
+    (models/fusion.py), and with the upstream map stop-gradiented both
+    GroupNorm's affine and the 1x1 conv are per-pixel linear maps that
+    commute with the gather — so the step applies them to the N
+    gathered rows instead of all H*W pixels (measured: the full-map
+    conv + its backward were ~51 GF + ~0.4 GB of scattered cotangent
+    traffic per step for 0.8% pixel utilization)."""
+    out_dim: int
+    feat_ch: int = VAE_FIRST_BLOCK_CHANNELS
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers_0 = GroupNormAffine(self.feat_ch, dtype=self.dtype,
+                                        name="layers_0")
+        self.layers_1 = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
+                                name="layers_1")
+
+    def __call__(self, x):
+        """x [B, H, W, feat_ch] NHWC -> [B, H, W, out_dim]."""
+        return self.layers_1(self.layers_0(x))
+
+    def proj_rows(self, xn_rows):
+        """Pre-normalized rows [B, N, feat_ch] -> [B, N, out_dim]."""
+        y = self.layers_0.affine(xn_rows)
+        return self.layers_1(y[:, :, None, :])[:, :, 0, :]
+
+
 def split_dimensions(max_sh_degree: int):
     dims = [3, 1, 3, 4, 3]
     if max_sh_degree != 0:
@@ -120,12 +189,12 @@ class PointFeaturePredictor(nn.Module):
             raise ValueError(f"unsupported backbone: {bt}")
 
     def __call__(self, x, image_features=None, c2w=None, fusion_mlp=None,
-                 intrinsic=None, train: bool = False):
+                 intrinsic=None, image_proj=None, train: bool = False):
         """Object-level forward (+ optional fusion): returns
         (per-token 23ch output [B, G, 23], centers [B, G, 3])."""
         feats, center = self.encoder(
             x, image_features=image_features, c2w=c2w, fusion_mlp=fusion_mlp,
-            intrinsic=intrinsic, train=train)
+            intrinsic=intrinsic, image_proj=image_proj, train=train)
         return self.final(feats), center
 
     def forward_scene(self, data, image_features=None,
@@ -168,10 +237,10 @@ class GaussianSplatPredictor(nn.Module):
             self.image_network = AutoencoderKL(dtype=self.dtype, **vo)
             out_dim = (mc["feature_dim"] if self.level == "object"
                        else mc["fusion_dim"])
-            self.image_conv = nn.Sequential([
-                nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype),
-                nn.Conv(out_dim, (1, 1), dtype=self.dtype),
-            ])
+            feat_ch = tuple(vo.get("block_out_channels",
+                                   (VAE_FIRST_BLOCK_CHANNELS,)))[0]
+            self.image_conv = ImageConv(out_dim, feat_ch=feat_ch,
+                                        dtype=self.dtype)
             if self.level == "object":
                 self.fusion_mlps = nn.Sequential([
                     nn.Dense(mc["fusion_dim"], dtype=self.dtype),
@@ -227,6 +296,23 @@ class GaussianSplatPredictor(nn.Module):
                                     source_cameras_view_to_world, train,
                                     vae_features)
 
+    def _raw_normalized_features(self, image, vae_features=None):
+        """Frozen-VAE features, group-NORMALIZED but not affine/conv'd,
+        as [B*V, feat_ch, H, W]. The per-channel affine + 1x1 conv are
+        applied AFTER the fusion gather (see ImageConv.proj_rows) —
+        exact because the map is stop-gradiented and both are per-pixel
+        linear."""
+        if vae_features is None:
+            vae_out = self.image_network(image)
+            feat = jax.lax.stop_gradient(vae_out["decoder_block_3"])
+        else:
+            feat = jax.lax.stop_gradient(vae_features.astype(self.dtype))
+        feat = jnp.transpose(feat, (0, 2, 3, 1))
+        gn = self.image_conv.layers_0
+        feat = group_normalize(feat, gn.num_groups, gn.epsilon)
+        feat = jax.lax.stop_gradient(feat).astype(self.dtype)
+        return jnp.transpose(feat, (0, 3, 1, 2))
+
     def _forward_object(self, point_cloud, image, c2w, train,
                         vae_features=None):
         if self.use_fusion:
@@ -234,7 +320,7 @@ class GaussianSplatPredictor(nn.Module):
             img = image.reshape(B * V, *image.shape[2:])
             vf = None if vae_features is None else \
                 vae_features.reshape(B * V, *vae_features.shape[2:])
-            image_features = self._image_features(img, vf)
+            image_features = self._raw_normalized_features(img, vf)
             if V > 1:
                 # multi-view union (reference _multi_view_union,
                 # gaussian_predictor.py:413-420): run the backbone once
@@ -245,7 +331,7 @@ class GaussianSplatPredictor(nn.Module):
             out, center = self.point_network(
                 point_cloud, image_features=image_features, c2w=c2w,
                 fusion_mlp=self.fusion_mlps, intrinsic=self.intrinsic,
-                train=train)
+                image_proj=self.image_conv.proj_rows, train=train)
         else:
             B, V = point_cloud.shape[0], 1
             out, center = self.point_network(point_cloud, train=train)
@@ -314,9 +400,18 @@ def build_predictor(cfg, dtype=jnp.float32) -> GaussianSplatPredictor:
         return tuple(freeze(x) for x in v) if isinstance(v, (list, tuple)) \
             else v
 
-    bo = cfg.model.get("backbone_overrides") or None
+    bo = dict(cfg.model.get("backbone_overrides") or {})
+    if cfg.model.backbone_type == "sparseunet" and "tpu" in cfg:
+        # sparse-conv executor knob (tpu.sparse_conv_impl=gather|block):
+        # routed through backbone_overrides so make_geometry_fn builds
+        # the matching index structures
+        impl = cfg.tpu.get("sparse_conv_impl", None)
+        if impl and "conv_impl" not in bo:
+            bo["conv_impl"] = str(impl)
     if bo:
         bo = tuple(sorted((k, freeze(v)) for k, v in bo.items()))
+    else:
+        bo = None
     vo = cfg.model.get("vae_overrides") or None
     if vo:
         vo = tuple(sorted((k, freeze(v)) for k, v in vo.items()))

@@ -96,7 +96,7 @@ class Mamba3DEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pts, image_features=None, c2w=None, fusion_mlp=None,
-                 intrinsic=None, train: bool = False):
+                 intrinsic=None, image_proj=None, train: bool = False):
         """pts [B, N, 3(+1)] -> (tokens [B, G, C], cls_pos [B, 1, C]).
 
         NOTE the second return is the learned CLS positional embedding
@@ -138,7 +138,8 @@ class Mamba3DEncoder(nn.Module):
                                                deterministic=not train)
             if i == self.depth - 1 and fusion_mlp is not None:
                 x = fusion_lib.feature_fusion(
-                    x, center, image_features, c2w, intrinsic, fusion_mlp)
+                    x, center, image_features, c2w, intrinsic, fusion_mlp,
+                    image_proj)
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         cls_pos_b = jnp.broadcast_to(cls_pos, (B, 1, self.trans_dim))

@@ -332,7 +332,8 @@ class PointMambaDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, p_list, x_list, image_features=None, c2w=None,
-                 fusion_mlp=None, intrinsic=None, train: bool = False):
+                 fusion_mlp=None, intrinsic=None, image_proj=None,
+                 train: bool = False):
         """p_list/x_list from the encoder (fine -> coarse) ->
         [B, N, decoder_channel_list[-1]] at full resolution."""
         ps = list(reversed(p_list))
@@ -348,7 +349,7 @@ class PointMambaDecoder(nn.Module):
             if i == n_dec - 1 and fusion_mlp is not None:
                 x = fusion_lib.feature_fusion(
                     x, ps[i + 1][..., :3], image_features, c2w, intrinsic,
-                    fusion_mlp)
+                    fusion_mlp, image_proj)
         return x
 
 
@@ -363,12 +364,12 @@ class PointMambaSeg(nn.Module):
 
     @nn.compact
     def __call__(self, pts, image_features=None, c2w=None, fusion_mlp=None,
-                 intrinsic=None, train: bool = False):
+                 intrinsic=None, image_proj=None, train: bool = False):
         p_list, x_list = PointMambaEncoder(
             in_channels=self.in_channels, use_windows=self.use_windows,
             dtype=self.dtype, name="encoder")(pts, train=train)
         x = PointMambaDecoder(dtype=self.dtype, name="decoder")(
             p_list, x_list, image_features, c2w, fusion_mlp, intrinsic,
-            train=train)
+            image_proj, train=train)
         x = SegHead(self.num_classes, dtype=self.dtype, name="head")(x, train)
         return x, p_list[0]

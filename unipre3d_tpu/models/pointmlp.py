@@ -182,7 +182,7 @@ class PointMLPEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pts, image_features=None, c2w=None, fusion_mlp=None,
-                 intrinsic=None, train: bool = False):
+                 intrinsic=None, image_proj=None, train: bool = False):
         """pts [B, N, in_channels] -> (features [B, N, de_dims[-1]],
         centers = the input points [B, N, 3+])."""
         p = pts
@@ -219,5 +219,5 @@ class PointMLPEncoder(nn.Module):
             if i == n_dec - 1 and fusion_mlp is not None:
                 x = fusion_lib.feature_fusion(
                     x, p_list[i + 1][..., :3], image_features, c2w,
-                    intrinsic, fusion_mlp)
+                    intrinsic, fusion_mlp, image_proj)
         return x, p_list[-1]

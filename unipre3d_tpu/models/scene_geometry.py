@@ -64,12 +64,27 @@ class SpUNetGeometry(NamedTuple):
 
 def _geometry_one(grid_coord, mask, coord, min_coord, unproj, *,
                   grid_size: float, pixel_capacity: int,
-                  level_caps: Sequence[int], use_fusion: bool):
-    """Geometry of ONE scene (vmap for batch)."""
+                  level_caps: Sequence[int], use_fusion: bool,
+                  conv_impl: str = "gather", block_size: int = 4,
+                  block_div: int = 8):
+    """Geometry of ONE scene (vmap for batch).
+
+    ``conv_impl="block"`` replaces every submanifold neighbor table
+    with the block-dense :class:`~unipre3d_tpu.ops.sparse.
+    BlockStructure` (same field slots of the geometry tuple; the model's
+    SubMConv dispatches on the type)."""
     M = grid_coord.shape[0]
     offs3 = sp.kernel_offsets(3)
     offs5 = sp.kernel_offsets(5)
     nofeat = jnp.zeros((M, 0), jnp.float32)
+    use_block = conv_impl == "block"
+
+    def k3_struct(sv, cap):
+        if use_block:
+            return sp.block_structure(sv.coords, sv.mask,
+                                      max(cap // block_div, 16),
+                                      bs=block_size, halo=1)
+        return sp.find_neighbors(sv, offs3)
 
     code = sp.pack_code(grid_coord, mask)
     order0 = jnp.argsort(code).astype(jnp.int32)
@@ -77,7 +92,12 @@ def _geometry_one(grid_coord, mask, coord, min_coord, unproj, *,
     mask0 = jnp.take(mask, order0, axis=0)
     world_c = jnp.take(coord, order0, axis=0)
     sv_c = sp.SparseVoxels(coords=coords_c, feats=nofeat, mask=mask0)
-    nbr5 = sp.find_neighbors(sv_c, offs5)
+    if use_block:
+        nbr5 = sp.block_structure(coords_c, mask0,
+                                  max(M // block_div, 16),
+                                  bs=block_size, halo=2)
+    else:
+        nbr5 = sp.find_neighbors(sv_c, offs5)
 
     pix_rep = merge_order = None
     if use_fusion:
@@ -113,7 +133,7 @@ def _geometry_one(grid_coord, mask, coord, min_coord, unproj, *,
                            feats=jnp.zeros((fine_coords.shape[0], 0),
                                            jnp.float32),
                            mask=fine_mask)
-    nbr3_fine = sp.find_neighbors(sv_f, offs3)
+    nbr3_fine = k3_struct(sv_f, fine_coords.shape[0])
 
     downs, nbrs = [], []
     cur_coords, cur_mask = fine_coords, fine_mask
@@ -122,7 +142,7 @@ def _geometry_one(grid_coord, mask, coord, min_coord, unproj, *,
         sv_l = sp.SparseVoxels(coords=ds.coords,
                                feats=jnp.zeros((cap, 0), jnp.float32),
                                mask=ds.mask)
-        nbrs.append(sp.find_neighbors(sv_l, offs3))
+        nbrs.append(k3_struct(sv_l, cap))
         downs.append(ds)
         cur_coords, cur_mask = ds.coords, ds.mask
     return SpUNetGeometry(
@@ -134,7 +154,9 @@ def _geometry_one(grid_coord, mask, coord, min_coord, unproj, *,
 def build_spunet_geometry(data, unprojected, *, grid_size: float,
                           pixel_capacity: int,
                           level_divs: Sequence[int], n_stages: int,
-                          use_fusion: bool) -> SpUNetGeometry:
+                          use_fusion: bool, conv_impl: str = "gather",
+                          block_size: int = 4,
+                          block_div: int = 8) -> SpUNetGeometry:
     """Batched SpUNet geometry.
 
     data: dict with ``grid_coord`` [B, M, 3], ``mask`` [B, M],
@@ -152,7 +174,9 @@ def build_spunet_geometry(data, unprojected, *, grid_size: float,
         return _geometry_one(
             grid_coord, mask, coord, min_coord, unproj,
             grid_size=grid_size, pixel_capacity=pixel_capacity,
-            level_caps=level_caps, use_fusion=use_fusion)
+            level_caps=level_caps, use_fusion=use_fusion,
+            conv_impl=conv_impl, block_size=block_size,
+            block_div=block_div)
 
     if use_fusion:
         return jax.vmap(one)(data["grid_coord"], data["mask"],

@@ -73,13 +73,18 @@ def _subm_weight_init(key, shape, dtype=jnp.float32):
 
 
 class SubMConv(nn.Module):
-    """Submanifold conv over a precomputed neighbor table.
+    """Submanifold conv over a precomputed index structure.
 
-    Weight layout [K, Cin, Cout]; call with feats [B, M, Cin] and
-    nbr [B, M, K]."""
+    Weight layout [K, Cin, Cout]; call with feats [B, M, Cin] and either
+    a neighbor table [B, M, K] (gather executor) or a batched
+    :class:`~unipre3d_tpu.ops.sparse.BlockStructure` (block-dense
+    executor — the TPU fast path, see ops/sparse.py:block_conv_apply).
+    Identical math either way; the executor choice is a property of the
+    geometry handed in."""
     out_channels: int
     kernel_size: int = 3
     use_bias: bool = False
+    block_size: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,8 +93,13 @@ class SubMConv(nn.Module):
         Cin = feats.shape[-1]
         w = self.param("kernel", _subm_weight_init,
                        (K, Cin, self.out_channels))
-        y = jax.vmap(sp.subm_gather_matmul, in_axes=(0, 0, None))(
-            feats, nbr, w.astype(self.dtype))
+        if isinstance(nbr, sp.BlockStructure):
+            y = jax.vmap(sp.block_conv_apply,
+                         in_axes=(0, 0, None, None))(
+                feats, nbr, w.astype(self.dtype), self.block_size)
+        else:
+            y = jax.vmap(sp.subm_gather_matmul, in_axes=(0, 0, None))(
+                feats, nbr, w.astype(self.dtype))
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,))
@@ -100,12 +110,13 @@ class SubMConvBlock(nn.Module):
     """SubMConv3d(k3) + BN + ReLU — the scene ``fusion_mlps`` (reference
     model/gaussian_predictor.py:228-234)."""
     channels: int
+    block_size: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, nbr, mask, train: bool = False):
         y = SubMConv(self.channels, 3, use_bias=True, dtype=self.dtype,
-                     name="conv")(feats, nbr)
+                     block_size=self.block_size, name="conv")(feats, nbr)
         y = MaskedBatchNorm(dtype=self.dtype, name="bn")(y, mask, train)
         return nn.relu(y)
 
@@ -114,16 +125,17 @@ class BasicBlock(nn.Module):
     """Residual block: [conv3-bn-relu-conv3-bn] + proj(x), relu
     (reference :25-106)."""
     channels: int
+    block_size: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, nbr, mask, train: bool = False):
         h = SubMConv(self.channels, 3, dtype=self.dtype,
-                     name="conv1")(feats, nbr)
+                     block_size=self.block_size, name="conv1")(feats, nbr)
         h = MaskedBatchNorm(dtype=self.dtype, name="bn1")(h, mask, train)
         h = nn.relu(h)
         h = SubMConv(self.channels, 3, dtype=self.dtype,
-                     name="conv2")(h, nbr)
+                     block_size=self.block_size, name="conv2")(h, nbr)
         h = MaskedBatchNorm(dtype=self.dtype, name="bn2")(h, mask, train)
         if feats.shape[-1] == self.channels:
             res = feats
@@ -226,6 +238,13 @@ class SpUNet(nn.Module):
     # compute 2-5x. Parents beyond capacity drop deterministically
     # (ops/sparse.py:downsample).
     level_capacity_div: Sequence[int] = (3, 9, 27, 81)
+    # submanifold conv executor: "gather" (neighbor-table row gathers)
+    # or "block" (block-dense scatter + one batched dense conv on the
+    # MXU — see ops/sparse.py:BlockStructure). The geometry builder
+    # produces the matching index structures.
+    conv_impl: str = "gather"
+    block_size: int = 4
+    block_div: int = 8      # static block capacity = level cap // div
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -258,7 +277,9 @@ class SpUNet(nn.Module):
                 grid_size=self.grid_size,
                 pixel_capacity=self.pixel_capacity,
                 level_divs=self.level_capacity_div, n_stages=n_stages,
-                use_fusion=fusion_mlp is not None)
+                use_fusion=fusion_mlp is not None,
+                conv_impl=self.conv_impl, block_size=self.block_size,
+                block_div=self.block_div)
         g = geometry
 
         feats = jnp.take_along_axis(data["feat"].astype(self.dtype),
@@ -266,6 +287,7 @@ class SpUNet(nn.Module):
 
         # stem: SubMConv k5 (6 -> base) + BN + ReLU
         x = SubMConv(self.base_channels, 5, dtype=self.dtype,
+                     block_size=self.block_size,
                      name="conv_input")(feats, g.nbr5)
         x = MaskedBatchNorm(dtype=self.dtype, name="bn_input")(
             x, g.mask0, train)
@@ -300,6 +322,7 @@ class SpUNet(nn.Module):
                          name=f"down{s}")(f, g.downs[s], train)
             for i in range(self.layers[s]):
                 f = BasicBlock(self.channels[s], dtype=self.dtype,
+                               block_size=self.block_size,
                                name=f"enc{s}_block{i}")(
                     f, g.nbrs[s], g.downs[s].mask, train)
             skips.append(f)
@@ -323,6 +346,7 @@ class SpUNet(nn.Module):
             n_blocks = self.layers[len(self.channels) - s - 1]
             for i in range(n_blocks):
                 f = BasicBlock(ref_dec[s], dtype=self.dtype,
+                               block_size=self.block_size,
                                name=f"dec{s}_block{i}")(
                     f, level_nbrs[s], masks[s], train)
 

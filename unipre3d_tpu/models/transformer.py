@@ -33,7 +33,8 @@ class PointTransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pts, image_features=None, c2w=None,
-                 fusion_mlp=None, intrinsic=None, train: bool = False):
+                 fusion_mlp=None, intrinsic=None, image_proj=None,
+                 train: bool = False):
         """pts [B, N, 3(+)] -> (tokens [B, G, trans_dim], centers [B, G, 3]).
 
         When ``image_features``/``fusion_mlp`` are provided, fusion runs
@@ -79,7 +80,8 @@ class PointTransformerEncoder(nn.Module):
                 x + pos, deterministic=not train)
             if i == self.depth - 1 and fusion_mlp is not None:
                 x = fusion_lib.feature_fusion(
-                    x, center, image_features, c2w, intrinsic, fusion_mlp)
+                    x, center, image_features, c2w, intrinsic, fusion_mlp,
+                    image_proj)
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return x[:, 1:, :], center

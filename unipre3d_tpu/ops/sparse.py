@@ -118,9 +118,10 @@ def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
     serialized gather loop, 24 ms per 433k needles). ``k_chunk`` is
     retained for signature compatibility (unused)."""
     M, K = tgt.shape
-    Mp = -(-M // _L1) * _L1
-    cp = codes if Mp == M else jnp.concatenate(
-        [codes, jnp.full((Mp - M,), INVALID_CODE, codes.dtype)])
+    T = codes.shape[0]          # table length (may differ from needles M)
+    Mp = -(-T // _L1) * _L1
+    cp = codes if Mp == T else jnp.concatenate(
+        [codes, jnp.full((Mp - T,), INVALID_CODE, codes.dtype)])
     nb = Mp // _L1
     ns = _L1 // _L2
     blocks = cp.reshape(nb, ns, _L2)
@@ -160,12 +161,12 @@ def _merge_lookup(codes: jnp.ndarray, tgt: jnp.ndarray,
 
     floor_val = jnp.where(cnt > 0, pick(row3, cnt - 1), pick(row2, k))
     found = (cand >= 0) & (floor_val == t)
-    cand_c = jnp.clip(cand, 0, M - 1)
+    cand_c = jnp.clip(cand, 0, T - 1)
     res = jnp.where(found, cand_c, -1).reshape(M, K)
     if return_floor:
-        # floor may legitimately exceed M-1 only for INVALID targets
+        # floor may legitimately exceed T-1 only for INVALID targets
         # matching the padding (masked by callers)
-        return res, jnp.clip(cand, -1, M - 1).reshape(M, K)
+        return res, jnp.clip(cand, -1, T - 1).reshape(M, K)
     return res
 
 
@@ -226,20 +227,27 @@ def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
     # codes at the end of the sorted table
     grp_ok = tgt0 != INVALID_CODE
 
-    # 16-lane aligned code window around the floor rank. The rank of a
-    # present (x+dx, y+dy, z+dz) differs from floor0 by at most |dz|
-    # (codes are integers: at most |dz| codes fit strictly between), so
-    # all candidates live in [floor0-r, floor0+r], covered by the two
-    # 8-rows starting at 8*((floor0-r)//8) whenever r <= 4.
-    n_pad = (-(-M // 8) + 1) * 8
+    # Aligned code window around the floor rank. With unique codes the
+    # rank of a present (x+dx, y+dy, z+dz) differs from floor0 by at
+    # most |dz| (at most |dz| codes fit strictly between); duplicate
+    # codes are LEGAL in the PointFusion merged set with multiplicity
+    # <= 2 (3D voxel + pixel voxel, models/sparseunet.py:
+    # point_fusion_merge), which doubles the possible gap — candidates
+    # live in [floor0 - r_eff, floor0 + r_eff] with r_eff = 2r + 1.
+    # The window takes enough aligned 8-rows to cover that span.
+    r_eff = 2 * r + 1
+    n_rows = -(-(2 * r_eff + 8) // 8)
+    n_pad = (-(-M // 8) + n_rows - 1) * 8
     cp = jnp.concatenate(
         [codes, jnp.full((n_pad - M,), INVALID_CODE, codes.dtype)])
     rows8 = cp.reshape(-1, 8)
-    base = jnp.clip((floor0 - r) // 8, 0, rows8.shape[0] - 2)   # [M, G]
-    win = jnp.concatenate([jnp.take(rows8, base, axis=0),
-                           jnp.take(rows8, base + 1, axis=0)],
-                          axis=-1)                              # [M, G, 16]
-    lane_rank = base[..., None] * 8 + jnp.arange(16, dtype=jnp.int32)
+    base = jnp.clip((floor0 - r_eff) // 8, 0,
+                    rows8.shape[0] - n_rows)                    # [M, G]
+    win = jnp.concatenate([jnp.take(rows8, base + j, axis=0)
+                           for j in range(n_rows)],
+                          axis=-1)                         # [M, G, 8*n]
+    lane_rank = base[..., None] * 8 + jnp.arange(8 * n_rows,
+                                                 dtype=jnp.int32)
 
     cols = []
     for dz in range(-r, r + 1):
@@ -249,9 +257,13 @@ def _find_neighbors_cubic(sv: SparseVoxels, codes: jnp.ndarray,
         zdz = z[:, None] + dz
         zok = (zdz >= 0) & (zdz < lim)
         t = tgt0 + np.uint32(dz) if dz > 0 else tgt0 - np.uint32(-dz)
-        match = win == t[..., None]          # at most one: codes unique
+        match = win == t[..., None]
         pres = grp_ok & zok & jnp.any(match, axis=-1)
-        cand = jnp.sum(jnp.where(match, lane_rank, 0), axis=-1)
+        # max (not sum) of matched lanes: duplicate codes are legal in
+        # the PointFusion merged set, and two matches must resolve to
+        # the LAST duplicate (the representative _merge_lookup's
+        # rank-1 picks), not the sum of both ranks
+        cand = jnp.max(jnp.where(match, lane_rank, -1), axis=-1)
         cols.append(jnp.where(pres, cand, -1))
     # x-major layout: column of offset (dx, dy, dz) = group*s + (dz+r)
     return jnp.stack(cols, axis=2).reshape(M, -1)
@@ -375,6 +387,152 @@ def _subm_conv_bwd(res, dy):
 
 
 subm_gather_matmul.defvjp(_subm_conv_fwd, _subm_conv_bwd)
+
+
+class BlockStructure(NamedTuple):
+    """Block-dense layout of one voxel set (one scene; vmap for batch).
+
+    TPU-native submanifold conv executor (round 5): gathers are
+    row-count-bound on TPU (~3 ns/row regardless of width), so the
+    gather formulation moves M*K rows per conv (2.27M at the scene fine
+    level). Instead, scatter every voxel's features into the HALO
+    tensor of the <=8 blocks whose halo contains it (unique targets,
+    M*<=8 rows), run ONE batched dense ``conv_general_dilated`` over
+    [NB, hs, hs, hs, C] (pure MXU), and gather the M interior outputs
+    back. Missing neighbors are zeros in the halo tensor, so the result
+    equals spconv submanifold semantics exactly (tests pin it against
+    :func:`subm_gather_matmul`).
+
+    scat_idx:    [M, 8] flat target into [NB*hs^3] (== NB*hs^3: dropped)
+    out_idx:     [M] flat index into [NB*bs^3] of the voxel's interior
+                 cell, -1 for invalid/dropped voxels
+    block_valid: [NB] bool (shape carries the static block capacity)
+    """
+    scat_idx: jnp.ndarray
+    out_idx: jnp.ndarray
+    block_valid: jnp.ndarray
+
+
+def block_structure(coords: jnp.ndarray, mask: jnp.ndarray,
+                    nb_cap: int, bs: int = 4,
+                    halo: int = 1) -> BlockStructure:
+    """Block membership + halo scatter targets of a voxel set.
+
+    ``bs`` power-of-two block side; ``halo`` = kernel radius (1 for k3,
+    2 for k5), halo <= bs/2. Blocks beyond ``nb_cap`` drop
+    deterministically (code order), like every other capacity in this
+    module.
+
+    ``coords`` must be code-sorted (canonical). Duplicate coords are
+    allowed (the PointFusion merge keeps 3D and pixel voxels at the
+    same cell, models/sparseunet.py:point_fusion_merge): only the LAST
+    row of a duplicate run scatters its features — the same
+    representative the gather path's rank lookup resolves to — while
+    every duplicate row still reads the shared interior output."""
+    assert bs & (bs - 1) == 0 and halo * 2 <= bs
+    shift = bs.bit_length() - 1
+    hs = bs + 2 * halo
+    M = coords.shape[0]
+    vcode = pack_code(coords, mask)
+    writer = jnp.concatenate(
+        [vcode[:-1] != vcode[1:], np.array([True])]) & mask
+    bc = coords >> shift
+    bcode = pack_code(bc, mask)
+
+    # dedup blocks (sorted by block code), rank per voxel
+    order = jnp.argsort(bcode).astype(jnp.int32)
+    bcode_s = jnp.take(bcode, order)
+    mask_s = bcode_s != INVALID_CODE
+    first = jnp.concatenate(
+        [np.array([True]), bcode_s[1:] != bcode_s[:-1]]) & mask_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    ok = mask_s & (seg < nb_cap)
+    # sorted table of distinct block codes (INVALID beyond count/cap)
+    rep = jnp.where(first & ok, seg, nb_cap)
+    btab = jnp.full((nb_cap + 1,), INVALID_CODE, jnp.uint32).at[rep].set(
+        bcode_s)[:nb_cap]
+    block_valid = btab != INVALID_CODE
+    # own block rank per voxel, original order
+    own = jnp.zeros((M,), jnp.int32).at[order].set(
+        jnp.where(ok, seg, -1))
+    own = jnp.where(mask, own, -1)
+
+    local = coords - (bc << shift)                       # [M, 3]
+    # halo membership direction per axis: a voxel sits in the halo of
+    # the -1 neighbor iff local < halo, of +1 iff local >= bs - halo
+    # (exclusive for halo <= bs/2)
+    d = jnp.where(local < halo, -1,
+                  jnp.where(local >= bs - halo, 1, 0))   # [M, 3]
+
+    cols, drop = [], nb_cap * hs ** 3
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                s = np.array([sx, sy, sz], np.int32)
+                off = d * s[None, :]
+                slot_ok = writer & (own >= 0)
+                if (sx, sy, sz) != (0, 0, 0):
+                    # a selected axis must actually have a neighbor
+                    live = jnp.ones((M,), bool)
+                    for a, sa in enumerate((sx, sy, sz)):
+                        if sa:
+                            live = live & (d[:, a] != 0)
+                    slot_ok = slot_ok & live
+                tb = bc + off
+                in_range = jnp.all(
+                    (tb >= 0) & (tb < (1 << CODE_BITS)), axis=-1)
+                slot_ok = slot_ok & in_range
+                tcode = pack_code(tb, slot_ok)
+                if (sx, sy, sz) == (0, 0, 0):
+                    rank = own
+                else:
+                    rank = _merge_lookup(btab, tcode[:, None])[:, 0]
+                pos = coords - (tb << shift) + halo      # in [0, hs)
+                flat = (rank * hs ** 3 + pos[:, 0] * hs * hs
+                        + pos[:, 1] * hs + pos[:, 2])
+                cols.append(jnp.where(slot_ok & (rank >= 0), flat, drop))
+    out_idx = jnp.where(
+        (own >= 0) & mask,
+        own * bs ** 3 + local[:, 0] * bs * bs + local[:, 1] * bs
+        + local[:, 2], -1)
+    return BlockStructure(scat_idx=jnp.stack(cols, axis=1),
+                          out_idx=out_idx, block_valid=block_valid)
+
+
+def block_conv_apply(feats: jnp.ndarray, bst: BlockStructure,
+                     weight: jnp.ndarray, bs: int = 4) -> jnp.ndarray:
+    """Submanifold conv over a :class:`BlockStructure`.
+
+    feats [M, Cin], weight [k^3, Cin, Cout] in :func:`kernel_offsets`
+    x-major layout -> [M, Cout] (0 on invalid/dropped rows). Exactly
+    equivalent to :func:`subm_gather_matmul` over the same voxel set
+    (modulo fp summation order). Plain jax ops end to end, so autodiff
+    handles the backward: the scatter's transpose is the (unique-index)
+    gather, and the conv backward is two more dense convs on the MXU.
+    """
+    M, Cin = feats.shape
+    K = weight.shape[0]
+    k = round(K ** (1.0 / 3.0))
+    assert k ** 3 == K
+    hs = bs + (k - 1)
+    NB = bst.block_valid.shape[0]
+    D = bst.scat_idx.shape[1]
+
+    src = jnp.broadcast_to(feats[:, None, :], (M, D, Cin)).reshape(
+        M * D, Cin)
+    halo = jnp.zeros((NB * hs ** 3, Cin), feats.dtype).at[
+        bst.scat_idx.reshape(-1)].add(src, mode="drop",
+                                      unique_indices=True)
+    halo = halo.reshape(NB, hs, hs, hs, Cin)
+    out = jax.lax.conv_general_dilated(
+        halo, weight.reshape(k, k, k, Cin, -1),
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)              # [NB, bs^3, Cout]
+    flat = out.reshape(NB * bs ** 3, -1).astype(feats.dtype)
+    safe = jnp.clip(bst.out_idx, 0, flat.shape[0] - 1)
+    y = jnp.take(flat, safe, axis=0)
+    return jnp.where((bst.out_idx >= 0)[:, None], y, 0.0)
 
 
 class Downsampled(NamedTuple):

@@ -298,7 +298,8 @@ def make_geometry_fn(cfg, model=None):
             else None,
             grid_size=enc.grid_size, pixel_capacity=enc.pixel_capacity,
             level_divs=tuple(enc.level_capacity_div), n_stages=n_stages,
-            use_fusion=use_fusion)
+            use_fusion=use_fusion, conv_impl=enc.conv_impl,
+            block_size=enc.block_size, block_div=enc.block_div)
 
     return geom_fn
 
