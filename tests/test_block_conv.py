@@ -62,6 +62,25 @@ def test_block_conv_gradients_match():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_block_conv_bf16_grad():
+    """bf16 features (the TPU training dtype) must trace through the
+    dense-conv backward — regression for the f32 preferred_element_type
+    output colliding with bf16 cotangents inside conv autodiff."""
+    rng = np.random.default_rng(6)
+    sv = random_voxels(rng, 80, 128, extent=12, C=4)
+    W = jnp.asarray(rng.normal(size=(27, 4, 4)).astype(np.float32))
+    bst = sp.block_structure(sv.coords, sv.mask, 128, bs=4, halo=1)
+    f16 = sv.feats.astype(jnp.bfloat16)
+
+    def loss(f, w):
+        return jnp.sum(sp.block_conv_apply(
+            f, bst, w.astype(jnp.bfloat16), bs=4).astype(jnp.float32))
+
+    gf, gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(f16, W)
+    assert gf.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gw)).all()
+
+
 def test_block_capacity_drop_is_masked():
     """Blocks beyond nb_cap drop deterministically: affected voxels get
     zero output, everything else matches the gather path wherever its

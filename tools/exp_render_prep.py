@@ -62,7 +62,8 @@ def main():
     from __graft_entry__ import _synthetic_batch
 
     cfg = load_config("transformer_pretraining",
-                      overrides=["data.dataset_root=synthetic"])
+                      overrides=["data.dataset_root=synthetic"]
+                      + sys.argv[1:])
     B, n_pts, n_views = int(cfg.opt.batch_size), 1024, 5
     batch = _synthetic_batch(cfg, batch=B, n_points=n_pts, n_views=n_views)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)

@@ -65,7 +65,7 @@ def main():
 
     cfg = load_config(config_name, overrides=[
         "opt.batch_size=1", "data.pts_dataset_root=synthetic",
-        "opt.ema.update_after_step=1"])
+        "opt.ema.update_after_step=1"] + sys.argv[2:])
     ds = get_dataset(cfg, "train")
     batch = next(iter(Loader(ds, 1, shuffle=False).epoch(0)))
     rng = jax.random.PRNGKey(0)

@@ -70,8 +70,11 @@ _DOT2X_SINGLE = False   # True: one bf16 DEFAULT pass (hook, see above)
 # pixel-block x gaussian-chunk working set: P_BLK*CHUNK_N f32 elements
 # per intermediate. The backward keeps ~2x more intermediates live
 # (grad terms + suffix scans), so it gets half the forward's budget —
-# both fit well under the ~16 MB/core VMEM; the larger forward block
-# halves per-program startup overhead.
+# both fit well under the ~16 MB/core VMEM. (A 1M forward workset
+# measured 5.05 vs 6.94 ms standalone — tools/bench_dense_worksets.py
+# round 5 — but its jvp variant inside the train step needs 20.2 MB of
+# scoped VMEM and the compile OOMs, so the standalone win is not
+# reachable; keep 256k.)
 _WORKSET_FWD = 262144
 _WORKSET_BWD = 262144
 

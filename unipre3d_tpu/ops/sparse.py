@@ -524,11 +524,14 @@ def block_conv_apply(feats: jnp.ndarray, bst: BlockStructure,
         bst.scat_idx.reshape(-1)].add(src, mode="drop",
                                       unique_indices=True)
     halo = halo.reshape(NB, hs, hs, hs, Cin)
+    # no preferred_element_type: an f32 output would make autodiff feed
+    # an f32 cotangent into the bf16 transpose convs. XLA's TPU conv
+    # accumulates bf16 inputs in f32 internally, so the bf16 output
+    # matches the gather path's f32-accumulate + cast numerics.
     out = jax.lax.conv_general_dilated(
-        halo, weight.reshape(k, k, k, Cin, -1),
+        halo, weight.reshape(k, k, k, Cin, -1).astype(feats.dtype),
         window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)              # [NB, bs^3, Cout]
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))   # [NB, bs^3, Cout]
     flat = out.reshape(NB * bs ** 3, -1).astype(feats.dtype)
     safe = jnp.clip(bst.out_idx, 0, flat.shape[0] - 1)
     y = jnp.take(flat, safe, axis=0)
